@@ -1,13 +1,267 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Cover, Sid}
+import graft.functions.{DissolveAgg, StareFunctions}
+import graft.functions.StareFunctions._
+import graft.operators.{Dissolve, KnnJoin, SpeedySubset, StareJoin}
+import graft.pipeline.{AnnOps, Multimodal, TextOps}
+import graft.sources.{Pods, Webtext}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** south-american country boxes (rough), used as the cover side of the
+    * flagship geotag->index->join->dissolve pipeline. Deterministic,
+    * level 6 like the reference join fixture (tests/test_join.py:73). */
+  private[graft] def countryBoxes: Seq[(String, Array[Double], Array[Double])] = Seq(
+    // name, lons, lats (closed rings, ccw)
+    ("brazil",    Array(-74.0, -34.0, -34.0, -74.0, -74.0), Array(-34.0, -34.0, 5.0, 5.0, -34.0)),
+    ("argentina", Array(-73.0, -53.0, -53.0, -73.0, -73.0), Array(-55.0, -55.0, -21.0, -21.0, -55.0)),
+    ("peru",      Array(-81.0, -68.0, -68.0, -81.0, -81.0), Array(-18.0, -18.0, 0.0, 0.0, -18.0)),
+    ("colombia",  Array(-79.0, -66.0, -66.0, -79.0, -79.0), Array(-4.0, -4.0, 12.0, 12.0, -4.0)),
+    ("africa_w",  Array(-17.0, 10.0, 10.0, -17.0, -17.0),  Array(4.0, 4.0, 28.0, 28.0, 4.0)),
+    ("europe_c",  Array(-10.0, 25.0, 25.0, -10.0, -10.0),  Array(36.0, 36.0, 60.0, 60.0, 36.0)),
+    ("asia_se",   Array(95.0, 140.0, 140.0, 95.0, 95.0),   Array(-10.0, -10.0, 25.0, 25.0, -10.0)),
+    ("pacific",   Array(165.0, -150.0, -150.0, 165.0, 165.0), Array(-30.0, -30.0, 10.0, 10.0, -30.0)))
+
+  private[graft] def coversDf(spark: SparkSession, level: Int = 6): DataFrame = {
+    import spark.implicits._
+    countryBoxes.map { case (name, lons, lats) =>
+      (name, Cover.coverFromPolygon(Array((lons, lats)), level, forceCcw = true).toSeq)
+    }.toDF("region_name", "sids")
+  }
+
+  /** geotagged + sid-indexed webtext table. */
+  private[graft] def indexed(spark: SparkSession, sfDir: String, level: Int = 26): DataFrame =
+    Webtext.geotagged(Webtext.table(spark, sfDir))
+      .withColumn("sid", stareSid(col("lat"), col("lon"), level))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0:
+    * geotag -> STARE index -> cover join -> dissolve-count per region. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = indexed(spark, "/root/testdata/sf0.001")
+    val joined = StareJoin.pointJoin(docs, "sid", coversDf(spark), "sids", how = "inner")
+    joined.groupBy(col("region_name")).agg(count(lit(1)).as("pages"))
+  }
+
+  /** One per implemented operator from SURVEY.md §2. All queries order
+    * deterministically. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational baseline (Catalyst built-ins) --------
+    "q01_lineitem_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_order_join" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q03_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.withColumn("rk", row_number().over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rk") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("best_price"))
+        .orderBy(col("o_custkey"))
+    }),
+    // ---------------- training-data ops ------------------------------
+    "q10_exact_dedup" -> ((s, dir) => {
+      TextOps.exactDedup(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("keep_doc_id"))
+    }),
+    "q11_token_count" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy(col("doc_id"))
+    }),
+    "q12_quality" -> ((s, dir) => {
+      TextOps.qualityFeatures(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("digit_ratio"), 6).as("digit_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    "q13_lang_id" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.withLangId(d, col("text"), "lang_pred")
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    }),
+    "q14_geotag" -> ((s, dir) => {
+      Webtext.geotagged(Webtext.table(s, dir))
+        .select(col("doc_id"), round(col("lat"), 4).as("lat"), round(col("lon"), 4).as("lon"))
+        .orderBy(col("doc_id"))
+    }),
+    "q15_minhash_dups" -> ((s, dir) => {
+      TextOps.minhashCandidates(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q16_simhash" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), TextOps.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+    "q17_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = Array.tabulate(64)(i => (math.sin(i + 1) / 8.0).toFloat)
+      AnnOps.topK(emb, "embedding", q, 20)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
+    "q18_near_dup_pairs" -> ((s, dir) => {
+      AnnOps.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), "embedding", "vec_id",
+          planes = 10, minCosine = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q19_fingerprint" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---------------- STARE operators (no SQL oracle) -----------------
+    "q20_stare_index" -> ((s, dir) => {
+      indexed(s, dir)
+        .select(col("doc_id"), col("sid"), stareLevel(col("sid")).as("level"),
+          stareHex(col("sid")).as("sid_hex"))
+        .orderBy(col("doc_id"))
+    }),
+    "q21_cover_join" -> ((s, dir) => {
+      StareJoin.pointJoin(indexed(s, dir), "sid", coversDf(s), "sids", how = "inner")
+        .groupBy(col("region_name")).agg(count(lit(1)).as("pages"))
+        .orderBy(col("region_name"))
+    }),
+    "q22_cover_join_left" -> ((s, dir) => {
+      StareJoin.pointJoin(indexed(s, dir), "sid", coversDf(s), "sids", how = "left")
+        .groupBy(coalesce(col("region_name"), lit("__none")).as("region_name"))
+        .agg(count(lit(1)).as("pages"))
+        .orderBy(col("region_name"))
+    }),
+    "q23_dissolve" -> ((s, dir) => {
+      val docs = indexed(s, dir)
+        .withColumn("sids", array(stareClearTo(col("sid"), 8)))
+      Dissolve(docs, by = "lang", sidsCol = "sids", aggFuncs = Map("doc_id" -> "sum"))
+        .select(col("lang"), size(col("sids")).as("cover_size"), col("doc_id").as("doc_id_sum"))
+        .orderBy(col("lang"))
+    }),
+    "q24_speedy_subset" -> ((s, dir) => {
+      val cover = Cover.coverFromPolygon(
+        Array((Array(-10.0, 25.0, 25.0, -10.0, -10.0), Array(36.0, 36.0, 60.0, 60.0, 36.0))), 6, forceCcw = true)
+      SpeedySubset(indexed(s, dir), "sid", cover)
+        .select(col("doc_id"), col("sid")).orderBy(col("doc_id"))
+    }),
+    "q25_knn" -> ((s, dir) => {
+      val docs = indexed(s, dir).select(col("doc_id"), col("sid"))
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+      KnnJoin(queries, "sid", docs, "sid", k = 3, initialDiameterDeg = 8.0, coverLevel = 7)
+        .select(col("doc_id"), col("doc_id_nn"), col("nn_rank"))
+        .orderBy(col("doc_id"), col("nn_rank"), col("doc_id_nn"))
+    }),
+    "q26_tile_dissolve" -> ((s, dir) => {
+      // raster->vector: dissolve per lang then trixel MultiPolygon WKT
+      val docs = indexed(s, dir).withColumn("sids", array(stareClearTo(col("sid"), 6)))
+      Dissolve(docs, by = "lang", sidsCol = "sids")
+        .select(col("lang"), length(stareTrixelWkt(col("sids"))).as("wkt_len"),
+          size(col("sids")).as("n_trixels"))
+        .orderBy(col("lang"))
+    }),
+    "q27_pods_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_pods_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val docs = indexed(s, dir).select(col("doc_id"), col("url"), col("sid"), col("lang"))
+      Pods.write(docs, out, "sid", podLevel = 3, lineageId = s"verify-$dir")
+      val cover = Cover.coverFromPolygon(
+        Array((Array(-10.0, 25.0, 25.0, -10.0, -10.0), Array(36.0, 36.0, 60.0, 60.0, 36.0))), 6, forceCcw = true)
+      Pods.read(s, out, cover)
+        .filter(stareIntersectsCover(col("sid"), cover))
+        .select(col("doc_id"), col("sid")).orderBy(col("doc_id"))
+    }),
+    "q28_tiv" -> ((s, dir) => {
+      Webtext.table(s, dir)
+        .select(col("doc_id"), stareTiv(col("warc_ts")).as("tiv"))
+        .orderBy(col("doc_id"))
+    }),
+    "q29_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(Webtext.table(s, dir))
+        .select(col("url"), col("byte_len"), col("width"), col("height"))
+        .orderBy(col("url"))
+    })
+  )
+
+  /** DuckDB-runnable oracles (same parquet inputs, same column names). */
+  def oracleSql: Map[String, String] = {
+    val lat = Webtext.latExpr
+    val lon = Webtext.lonExpr
+    Map(
+      "q01_lineitem_agg" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          | sum(l_extendedprice) AS sum_price, count(*) AS cnt
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q02_order_join" ->
+        """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q03_window_topk" ->
+        """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price FROM (
+          | SELECT *, row_number() OVER (PARTITION BY o_custkey
+          |   ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk = 1
+          |ORDER BY o_custkey""".stripMargin,
+      "q10_exact_dedup" ->
+        """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
+          |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+      "q11_token_count" ->
+        """SELECT doc_id,
+          | CASE WHEN length(trim(text)) = 0 THEN 0
+          |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          | length(text) AS n_chars_m
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q12_quality" ->
+        """SELECT doc_id,
+          | CASE WHEN length(trim(text)) = 0 THEN 0
+          |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          | round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+          |       / greatest(length(text), 1), 6) AS digit_ratio,
+          | round((length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))) * 1.0
+          |       / greatest(length(text), 1), 6) AS punct_ratio
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q13_lang_id" ->
+        s"""WITH scored AS (
+           | SELECT doc_id,
+           |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+           |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+           |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4 AS s_en,
+           |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' der ', ''))) / 5
+           |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' und ', ''))) / 5
+           |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' die ', ''))) / 5 AS s_de,
+           |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' le ', ''))) / 4
+           |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' et ', ''))) / 4
+           |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' les ', ''))) / 5 AS s_fr,
+           |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' el ', ''))) / 4
+           |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' y ', ''))) / 3
+           |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' los ', ''))) / 5 AS s_es
+           | FROM documents)
+           |SELECT lang_pred, count(*) AS n FROM (
+           | SELECT CASE
+           |   WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           |   WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           |   WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           |   WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           |   ELSE 'fr' END AS lang_pred
+           | FROM scored)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q14_geotag" ->
+        s"""SELECT doc_id, round($lat, 4) AS lat, round($lon, 4) AS lon
+           |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
 }

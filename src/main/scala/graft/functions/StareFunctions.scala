@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Cover, Geo, Htm, Sid, Tiv}
+
+/** Column-level STARE function library (SURVEY.md §2.5/§2.6).
+  *
+  * Design: pure bit-field algebra (level/clear/coerce/location/interval
+  * bounds) is expressed with native Catalyst bitwise expressions so it
+  * stays inside whole-stage codegen and remains usable in partition /
+  * zone-map pruning predicates. Loop-heavy kernels (HTM descent, cover
+  * generation, trixel geometry, TIV calendar math) are Scala UDFs over
+  * primitives — one JVM call per row, no Python boundary.
+  */
+object StareFunctions {
+
+  // ------------------------------------------------------------ bit algebra (native Catalyst, codegen'd)
+
+  /** sid & 31 — spatial level (staredataframe.py:908-913). */
+  def stareLevel(sid: Column): Column = sid.bitwiseAND(lit(31L))
+
+  /** location bits only (join/compare key). */
+  def stareLocation(sid: Column): Column = sid.bitwiseAND(lit(Sid.LocMask))
+
+  /** clear location bits below `level` and stamp the level field —
+    * the canonical equi-join / partition key. Native when level is a literal. */
+  def stareClearTo(sid: Column, level: Int): Column =
+    sid.bitwiseAND(lit(Sid.clearMask(level))).bitwiseOR(lit(level.toLong))
+
+  /** pod / partition id at a level: cleared location only. */
+  def starePod(sid: Column, level: Int): Column =
+    sid.bitwiseAND(lit(Sid.clearMask(level)))
+
+  /** interval bounds of a fixed-level trixel key. */
+  def stareIntervalLo(sid: Column, level: Int): Column = sid.bitwiseAND(lit(Sid.clearMask(level)))
+  def stareIntervalHi(sid: Column, level: Int): Column =
+    stareIntervalLo(sid, level) + lit(Sid.increment(level))
+
+  def stareCoerce(sid: Column, level: Int): Column =
+    sid.bitwiseAND(lit(~Sid.LevelMask)).bitwiseOR(lit(level.toLong))
+
+  def stareHex(sid: Column): Column = format_string("0x%016x", sid)
+
+  // ------------------------------------------------------------ kernels (Scala UDFs)
+
+  private val sidUdf = udf((lat: Double, lon: Double, level: Int) => Htm.latLonToSid(lat, lon, level))
+
+  /** lat/lon (degrees) -> SID at level. */
+  def stareSid(lat: Column, lon: Column, level: Int): Column = sidUdf(lat, lon, lit(level))
+
+  private val clearOwnUdf = udf((sid: Long) => Sid.clearToLevel(sid))
+  /** clear to the sid's own level (dynamic level variant). */
+  def stareClearToOwn(sid: Column): Column = clearOwnUdf(sid)
+
+  private val coverUdf = udf((wkt: String, level: Int, forceCcw: Boolean) => {
+    Geo.parseWkt(wkt) match {
+      case Geo.PointG(lon, lat) => Array(Htm.latLonToSid(lat, lon, level))
+      case Geo.PolygonG(rings)  => Cover.coverFromPolygon(rings, level, forceCcw)
+      case Geo.MultiPolygonG(ps) => ps.flatMap(p => Cover.coverFromPolygon(p.rings, level, forceCcw))
+    }
+  })
+
+  /** WKT geometry -> multi-res SID cover (sids_from_shapely semantics). */
+  def stareCover(wkt: Column, level: Int, forceCcw: Boolean = true): Column =
+    coverUdf(wkt, lit(level), lit(forceCcw))
+
+  private val circularUdf = udf((sid: Long, diameterDeg: Double, level: Int) =>
+    Cover.circularCover(sid, diameterDeg, level))
+
+  /** circular cover of given diameter (deg) around the sid's trixel center. */
+  def stareCircularCover(sid: Column, diameterDeg: Column, level: Int): Column =
+    circularUdf(sid, diameterDeg, lit(level))
+
+  private val expandUdf = udf((sids: Seq[Long], level: Int) => Sid.expandToLevel(sids.toArray, level))
+  def stareExpand(sids: Column, level: Int): Column = expandUdf(sids, lit(level))
+
+  private val compressUdf = udf((sids: Seq[Long]) => Sid.compress(sids.toArray))
+  def stareCompress(sids: Column): Column = compressUdf(sids)
+
+  private val intersectionUdf = udf((a: Seq[Long], b: Seq[Long]) => Sid.intersection(a.toArray, b.toArray))
+  def stareCoverIntersection(a: Column, b: Column): Column = intersectionUdf(a, b)
+
+  private val areaUdf = udf((sid: Long) => Htm.area(sid))
+  def stareArea(sid: Column): Column = areaUdf(sid)
+
+  private val trixelWktUdf = udf((sids: Seq[Long]) => trixelWkt(sids.toArray))
+  /** MultiPolygon WKT of the trixels of a cover, antimeridian-split. */
+  def stareTrixelWkt(sids: Column): Column = trixelWktUdf(sids)
+
+  private val centerUdf = udf((sid: Long) => { val (lat, lon) = Htm.sidToCenter(sid); Array(lon, lat) })
+  /** [lon, lat] of the trixel center. */
+  def stareCenter(sid: Column): Column = centerUdf(sid)
+
+  private val tivUdf = udf((millis: Long, fwd: Int, rev: Int) => Tiv.fromUtcMillis(millis, fwd, rev))
+  /** timestamp -> STARE temporal index value. */
+  def stareTiv(ts: Column, forwardRes: Int = 48, reverseRes: Int = 48): Column =
+    tivUdf((ts.cast("double") * 1000).cast("long"), lit(forwardRes), lit(reverseRes))
+
+  // ------------------------------------------------------------ predicates against a driver-side cover
+
+  /** Predicate column: does the row's scalar sid intersect the cover?
+    * The cover is prepared once on the driver (merged interval runs) and
+    * shipped in the UDF closure (tiny). Mirrors stare_intersects
+    * (staredataframe.py:741-784). */
+  def stareIntersectsCover(sid: Column, cover: Array[Long]): Column = {
+    val runs = Sid.mergedIntervals(cover)
+    val f = udf((s: Long) => Sid.intervalOverlaps(Sid.intervalLo(s), Sid.intervalHi(s), runs))
+    f(sid)
+  }
+
+  /** Same for rows holding sid sets. */
+  def stareSetIntersectsCover(sids: Column, cover: Array[Long]): Column = {
+    val runs = Sid.mergedIntervals(cover)
+    val f = udf((s: Seq[Long]) => Sid.anyIntersects(s.toArray, runs))
+    f(sids)
+  }
+
+  /** A pushdown-friendly coarse pre-filter for a cover: sid between the
+    * cover's global [min, max) bounds — pure comparisons, reaches
+    * parquet zone maps (speedy_subset semantics,
+    * spatial_conversions.py:557-600). */
+  def stareCoverBoundsFilter(sid: Column, cover: Array[Long]): Column = {
+    val runs = Sid.mergedIntervals(cover)
+    val lo = runs.head._1
+    val hi = runs.last._2
+    sid >= lo && sid < hi
+  }
+
+  // ------------------------------------------------------------ helpers
+
+  def trixelWkt(sids: Array[Long]): String = {
+    val polys = sids.flatMap { s =>
+      val (lats, lons, _, _) = Htm.sidToVertices(s)
+      Geo.splitAntimeridian(lons, lats)
+    }
+    polys.map { case (lons, lats) =>
+      val pts = (lons.indices :+ 0).map(i => s"${lons(i)} ${lats(i)}").mkString(", ")
+      s"(($pts))"
+    }.mkString("MULTIPOLYGON (", ", ", ")")
+  }
+
+  /** Register SQL names on a session (spark.sql usable). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("stare_sid", (lat: Double, lon: Double, level: Int) => Htm.latLonToSid(lat, lon, level))
+    spark.udf.register("stare_level", (sid: Long) => Sid.level(sid))
+    spark.udf.register("stare_clear", (sid: Long) => Sid.clearToLevel(sid))
+    spark.udf.register("stare_hex", (sid: Long) => Sid.hex(sid))
+    spark.udf.register("stare_area", (sid: Long) => Htm.area(sid))
+    spark.udf.register("stare_compress", (sids: Seq[Long]) => Sid.compress(sids.toArray))
+    spark.udf.register("stare_cover", (wkt: String, level: Int) => {
+      Geo.parseWkt(wkt) match {
+        case Geo.PointG(lon, lat)  => Array(Htm.latLonToSid(lat, lon, level))
+        case Geo.PolygonG(rings)   => Cover.coverFromPolygon(rings, level, forceCcw = true)
+        case Geo.MultiPolygonG(ps) => ps.flatMap(p => Cover.coverFromPolygon(p.rings, level, forceCcw = true))
+      }
+    })
+    spark.udf.register("stare_tiv", (millis: Long, fwd: Int, rev: Int) => Tiv.fromUtcMillis(millis, fwd, rev))
+    spark.udf.register("stare_trixel_wkt", (sids: Seq[Long]) => trixelWkt(sids.toArray))
+  }
+}
