@@ -120,8 +120,11 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
     "q18_near_dup_pairs" -> ((s, dir) => {
+      // thresholds sized for the synthetic random embeddings (pairwise
+      // cosine ~N(0, 1/8)): in a real near-dup pass planes/minCosine
+      // rise to ~16/0.95
       AnnOps.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), "embedding", "vec_id",
-          planes = 10, minCosine = 0.9)
+          planes = 8, minCosine = 0.25)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim_r"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -195,6 +198,27 @@ object SparkEntry {
       Multimodal.extractFeatures(Webtext.table(s, dir))
         .select(col("url"), col("byte_len"), col("width"), col("height"))
         .orderBy(col("url"))
+    }),
+    "q30_adaptive_index" -> ((s, dir) => {
+      // adaptive-level encode: resolution from a per-row neighbor distance
+      Webtext.geotagged(Webtext.table(s, dir))
+        .withColumn("nbr_dist", (col("doc_id") % 20 + 1).cast("double") / 4.0)
+        .withColumn("sid", stareSidAdaptive(col("lat"), col("lon"), col("nbr_dist")))
+        .groupBy(stareLevel(col("sid")).as("level")).agg(count(lit(1)).as("n"))
+        .orderBy(col("level"))
+    }),
+    "q31_pods_catalog" -> ((s, dir) => {
+      val out = s"/tmp/graft_podcat_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val docs = indexed(s, dir).select(col("doc_id"), col("sid"))
+      Pods.write(docs, out, "sid", podLevel = 2, lineageId = s"cat-$dir")
+      Pods.catalog(s, out).orderBy(col("pod"))
+    }),
+    "q32_streaming_index" -> ((s, dir) => {
+      // batch replay of the streaming indexer over the webtext table
+      graft.streaming.StreamingIndex.indexStream(
+          Webtext.table(s, dir).drop("doc_id"))
+        .groupBy(col("pod")).agg(count(lit(1)).as("pages"))
+        .orderBy(col("pod"))
     })
   )
 

@@ -197,6 +197,42 @@ object Cover {
     cover(new CapRegion(center, math.toRadians(diameterDeg / 2)), level)
   }
 
+  /** Convex-hull cover (sids_from_ring convex=True /
+    * pystare.cover_from_hull): cover of the spherical convex hull of the
+    * ring points. Hull via tangent-plane projection at the vertex
+    * centroid + Graham scan (rings are assumed to fit a hemisphere, true
+    * for the reference's country fixtures). */
+  def coverFromHull(lats: Array[Double], lons: Array[Double], level: Int): Array[Long] = {
+    val n0 = lats.length
+    val n = if (n0 > 1 && lats(0) == lats(n0 - 1) && lons(0) == lons(n0 - 1)) n0 - 1 else n0
+    val pts = Array.tabulate(n)(i => Htm.latLonToXyz(lats(i), lons(i)))
+    // tangent-plane coordinates at the centroid
+    var cx = 0.0; var cy = 0.0; var cz = 0.0
+    pts.foreach { p => cx += p(0); cy += p(1); cz += p(2) }
+    val c = norm(Array(cx, cy, cz))
+    val ref: V = if (math.abs(c(2)) < 0.9) Array(0.0, 0.0, 1.0) else Array(1.0, 0.0, 0.0)
+    val e1 = norm(cross(ref, c))
+    val e2 = cross(c, e1)
+    val proj = pts.map(p => (dot(p, e1), dot(p, e2), p))
+    // Graham scan (counter-clockwise hull)
+    val sorted = proj.sortBy(t => (t._1, t._2))
+    def turn(o: (Double, Double, V), a: (Double, Double, V), b: (Double, Double, V)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val hull = scala.collection.mutable.ArrayBuffer[(Double, Double, V)]()
+    for (p <- sorted) {
+      while (hull.length >= 2 && turn(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+      hull += p
+    }
+    val lower = hull.length + 1
+    for (p <- sorted.reverseIterator) {
+      while (hull.length >= lower && turn(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+      hull += p
+    }
+    hull.remove(hull.length - 1)
+    val ring = new Ring(hull.map(_._3).toArray)
+    cover(new RingRegion(ring), level)
+  }
+
   /** Cover of a polygon with holes; exterior expected CCW, holes CW
     * (sids_from_polygon semantics: hole rings are covered as complements
     * and intersected, spatial_conversions.py:316-361). */

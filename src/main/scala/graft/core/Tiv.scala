@@ -113,6 +113,24 @@ object Tiv {
     (t - resolutionMillis(reverseRes(tiv)), t + resolutionMillis(forwardRes(tiv)))
   }
 
+  /** coarsest resolution whose unit duration is <= the given span
+    * (pystare.coarsest_resolution_finer_or_equal_ms). */
+  def coarsestResolutionFinerOrEqualMs(spanMs: Long): Int = {
+    var res = 0
+    while (res < 48 && resolutionMillis(res) > spanMs) res += 1
+    res
+  }
+
+  /** Interval TIV for [startMs, endMs]: centered instant with forward /
+    * reverse resolutions sized to the half-spans — the temporal chunk id
+    * of write_pods_granule (reference staredataframe.py:1160-1167). */
+  def fromInterval(startMs: Long, endMs: Long): Long = {
+    val center = (startMs + endMs) / 2
+    val fwd = coarsestResolutionFinerOrEqualMs(math.max(1L, endMs - center))
+    val rev = coarsestResolutionFinerOrEqualMs(math.max(1L, center - startMs))
+    fromUtcMillis(center, fwd, rev)
+  }
+
   /** Overlap test mirroring temporal_value_intersection_if_overlap
     * (-1 = no overlap). Returns the midpoint TIV of the overlap. */
   def intersectionIfOverlap(a: Long, b: Long): Long = {

@@ -92,10 +92,41 @@ object StareFunctions {
   /** [lon, lat] of the trixel center. */
   def stareCenter(sid: Column): Column = centerUdf(sid)
 
+  private val hullUdf = udf((wkt: String, level: Int) => {
+    Geo.parseWkt(wkt) match {
+      case Geo.PointG(lon, lat)  => Array(Htm.latLonToSid(lat, lon, level))
+      case Geo.PolygonG(rings)   => Cover.coverFromHull(rings(0)._2, rings(0)._1, level)
+      case Geo.MultiPolygonG(ps) => ps.flatMap(p => Cover.coverFromHull(p.rings(0)._2, p.rings(0)._1, level))
+    }
+  })
+
+  /** convex-hull cover (sids_from_* convex=True). */
+  def stareCoverHull(wkt: Column, level: Int): Column = hullUdf(wkt, lit(level))
+
+  private val adaptiveSidUdf = udf((lat: Double, lon: Double, dist: Double) =>
+    Htm.latLonToSid(lat, lon, Htm.adaptiveLevel(dist)))
+
+  /** adaptive-level point encode: level from an explicit neighbor
+    * distance (deg) — from_latlon_2d(adapt_level=True) semantics. */
+  def stareSidAdaptive(lat: Column, lon: Column, neighborDistDeg: Column): Column =
+    adaptiveSidUdf(lat, lon, neighborDistDeg)
+
+  private val gringUdf = udf((sid: Long) => Htm.sidToGring(sid).map(_.toSeq))
+  /** 3 great-circle normals constraining the trixel. */
+  def stareGring(sid: Column): Column = gringUdf(sid)
+
+  private val cornersEcefUdf = udf((sid: Long) => Htm.sidToCornersEcef(sid).map(_.toSeq))
+  def stareCornersEcef(sid: Column): Column = cornersEcefUdf(sid)
+
   private val tivUdf = udf((millis: Long, fwd: Int, rev: Int) => Tiv.fromUtcMillis(millis, fwd, rev))
   /** timestamp -> STARE temporal index value. */
   def stareTiv(ts: Column, forwardRes: Int = 48, reverseRes: Int = 48): Column =
     tivUdf((ts.cast("double") * 1000).cast("long"), lit(forwardRes), lit(reverseRes))
+
+  private val tivRangeUdf = udf((a: Long, b: Long) => Tiv.fromInterval(a, b))
+  /** interval TIV from (tsMin, tsMax) — temporal pod chunk id. */
+  def stareTivRange(tsMin: Column, tsMax: Column): Column =
+    tivRangeUdf((tsMin.cast("double") * 1000).cast("long"), (tsMax.cast("double") * 1000).cast("long"))
 
   // ------------------------------------------------------------ predicates against a driver-side cover
 

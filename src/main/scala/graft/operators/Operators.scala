@@ -43,6 +43,18 @@ object SpeedySubset {
   }
 }
 
+/** Edge conversion: dataframe with (x, y, value) columns -> dense 2-D
+  * grid via groupBy(x).pivot(y) (reference to_array / to_sids_array,
+  * staredataframe.py:1303-1383 — a collect-side reshape there; here the
+  * pivot is distributed and only the final matrix is driver-side). */
+object ToArray {
+  def apply(df: DataFrame, xCol: String, yCol: String, valueCol: String): Array[Array[Double]] = {
+    val yVals = df.select(col(yCol)).distinct().orderBy(col(yCol)).collect().map(_.get(0).toString)
+    val pivoted = df.groupBy(col(xCol)).pivot(yCol).agg(first(col(valueCol))).orderBy(col(xCol))
+    pivoted.collect().map(r => yVals.indices.map(i => Option(r.get(i + 1)).map(_.toString.toDouble).getOrElse(Double.NaN)).toArray)
+  }
+}
+
 /** kNN via STARE cell-ring expansion: candidate pairs from a circular
   * cover around each query, exact great-circle distance, per-query top-k.
   * The reference only ships the circular-cover primitive
@@ -79,12 +91,19 @@ object KnnJoin {
     val rightKeyed = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, c + "_nn"))
     val rSid = rightSid + "_nn"
 
-    var remaining = left
+    // per-round frames are persisted: the rounds are defined recursively
+    // (remaining_r depends on complete_{r-1}), so without persistence the
+    // final union re-executes every earlier round's candidate join.
+    var remaining = left.persist()
+    var remainingCount = remaining.count()
     var results: Option[DataFrame] = None
     var diameter = initialDiameterDeg
     var round = 0
-    while (round < maxRounds && !remaining.isEmpty) {
-      val candidates = candidateJoin(remaining, leftSid, rightKeyed, rSid, diameter, coverLevel)
+    while (round < maxRounds && remainingCount > 0) {
+      // keep the per-query cover at ~constant cell count: each doubling
+      // of the cap diameter drops the cover level by one
+      val lvl = math.max(2, coverLevel - round)
+      val candidates = candidateJoin(remaining, leftSid, rightKeyed, rSid, diameter, lvl)
         .withColumn("dist_rad", distUdf(col(leftSid), col(rSid)))
         // only trust neighbors provably inside the search cap: k-th
         // neighbor must be closer than the cap radius, else regrow
@@ -93,16 +112,19 @@ object KnnJoin {
         .filter(col("nn_rank") <= k)
       val capRad = math.toRadians(diameter / 2)
       val isLast = round == maxRounds - 1
-      val complete =
+      val complete = (
         if (isLast) candidates
         else candidates.withColumn("__kth", max(when(col("nn_rank") === k, col("dist_rad")))
             .over(Window.partitionBy(col(leftSid))))
           .filter(col("__kth").isNotNull && col("__kth") < capRad)
           .drop("__kth")
+        ).persist()
       results = Some(results.map(_.unionByName(complete)).getOrElse(complete))
       if (!isLast) {
         val done = complete.select(col(leftSid)).distinct()
-        remaining = remaining.join(done, Seq(leftSid), "left_anti")
+        val next = remaining.join(done, Seq(leftSid), "left_anti").persist()
+        remainingCount = next.count()
+        remaining = next
       }
       diameter *= 2
       round += 1
@@ -121,9 +143,10 @@ object KnnJoin {
     val rightKeys = right.withColumn("__rk", explode(
       filter(array(levels.map(l => when(stareLevel(col(rSid)) >= l, stareClearTo(col(rSid), l))): _*),
         c => c.isNotNull)))
+    // no dedup needed: a multi-res cover's trixels are disjoint, so each
+    // right point matches at most one cover sid per query
     exploded.withColumn("__lk", stareClearToOwn(col("__cs")))
       .join(rightKeys, col("__lk") === col("__rk"))
       .drop("__cs", "__lk", "__rk")
-      .distinct()
   }
 }

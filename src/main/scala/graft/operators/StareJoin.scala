@@ -61,8 +61,20 @@ object StareJoin {
     * cover side broadcasts. */
   def pointJoin(left: DataFrame, leftSid: String, right: DataFrame, rightSids: String,
                 how: String = "left"): DataFrame = {
-    // one id assignment, persisted so both uses see identical ids
-    val rightRows = right.withColumn("key_right", monotonically_increasing_id()).persist()
+    // The cover side must fit in a broadcast by design, so assign row ids
+    // on the driver: deterministic across every reuse of the frame (no
+    // monotonically_increasing_id re-evaluation hazard) and no lingering
+    // persist() that pressures the executor cache across queries.
+    val spark = left.sparkSession
+    val rightRows = {
+      val schema = org.apache.spark.sql.types.StructType(
+        right.schema.fields :+ org.apache.spark.sql.types.StructField("key_right", org.apache.spark.sql.types.LongType, nullable = false))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(right.collect().zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong)
+        }: _*)
+      spark.createDataFrame(rows, schema)
+    }
     // compress each cover first: canonical covers are non-nested, so a
     // point matches at most one cover sid per right row — no pair dedup
     // (and hence no join-back on a big-side row id) is ever needed.
@@ -72,23 +84,60 @@ object StareJoin {
       .withColumn(RKey, stareClearToOwn(col("__rs")))
       .select(col("__rid"), col(RKey))
 
-    // The cover side is broadcast anyway, so its key set fits on the
-    // driver: pre-filter each point's ancestor keys to those that exist
-    // on the right. Every surviving key matches >= 1 right row, and a
-    // row with no surviving key explodes to a single null key — so a
-    // plain left equi-join yields exact stare_join multiplicity with no
-    // row id, no join-back and no window pass over the big side.
     val keyRows = rightKeyed.select(RKey).distinct().collect()
     val keySet = keyRows.map(_.getLong(0)).toSet
     val levels = keySet.map(Sid.level).toArray.sorted
-    val filterKeys = udf((ks: Seq[Long]) => { val f = ks.filter(keySet); if (f.isEmpty) null else f })
 
-    val leftKeyed = left.withColumn(LKey,
-      explode_outer(filterKeys(ancestorKeys(col(leftSid), levels))))
+    // Uniform-level dictionary plan: if expanding every cover cell to the
+    // finest cover level keeps the broadcast side small, each point needs
+    // exactly ONE cleared key — no explode, 1 probe/row instead of
+    // |levels| probes/row. The multi-level explode plan moved 5x the rows
+    // through the join and was memory-bandwidth-bound at high core
+    // counts. Expansion is per right row over disjoint cells, so pair
+    // multiplicity is unchanged.
+    val maxLevel = levels.last
+    val expansionCost = keySet.iterator.map(k => 1L << (2 * (maxLevel - Sid.level(k)))).sum
+    if (expansionCost <= 512 * 1024) {
+      val expandAll = udf((sids: Seq[Long]) => Sid.expandToLevel(sids.toArray, maxLevel))
+      val rightUniform = rightRows
+        .select(col("key_right").as("__rid"), explode(expandAll(stareCompress(col(rightSids)))).as(RKey))
+      // precondition of this plan: left sids are at least as fine as the
+      // finest cover cell (true for point tables at level 26/27 vs
+      // polygon covers; coarser left sids should use join() instead).
+      // Coarser rows get a null key => no match, never a wrong match.
+      val leftKeyed = left.withColumn(LKey,
+        when(stareLevel(col(leftSid)) >= maxLevel, stareClearTo(col(leftSid), maxLevel)))
+      val joinType = if (how == "inner") "inner" else "left"
+      // NOTE: for how='left' a point matching nothing keeps one row with
+      // null __rid — exactly stare_join's left semantics, no key filter
+      // needed because there is a single key per row.
+      val joined = leftKeyed
+        .join(broadcast(rightUniform), col(LKey) === col(RKey), joinType)
+        .drop(LKey, RKey)
+      return assemble(joined, rightRows, how, broadcastRight = true)
+    }
 
-    val joined = leftKeyed
-      .join(broadcast(rightKeyed), col(LKey) === col(RKey), "left")
-      .drop(LKey, RKey)
+    val joined = if (how == "inner") {
+      // hot path: pure-native explode of the ancestor keys (one CASE+bit
+      // op per cover level, whole-stage codegen, zero allocation) and an
+      // inner hash probe — unmatched keys simply drop out. |levels| is
+      // small (compressed covers), so the explode factor is bounded.
+      val leftKeyed = left.withColumn(LKey, explode(ancestorKeys(col(leftSid), levels)))
+      leftKeyed.join(broadcast(rightKeyed), col(LKey) === col(RKey), "inner")
+        .drop(LKey, RKey)
+    } else {
+      // left join: pre-filter each point's ancestor keys to those that
+      // exist on the right (the cover side is broadcast anyway, so its
+      // key set fits on the driver). Every surviving key matches >= 1
+      // right row, and a row with no surviving key explodes to a single
+      // null key — exact stare_join multiplicity with no row id,
+      // join-back, or window pass over the big side.
+      val filterKeys = udf((ks: Seq[Long]) => { val f = ks.filter(keySet); if (f.isEmpty) null else f })
+      val leftKeyed = left.withColumn(LKey,
+        explode_outer(filterKeys(ancestorKeys(col(leftSid), levels))))
+      leftKeyed.join(broadcast(rightKeyed), col(LKey) === col(RKey), "left")
+        .drop(LKey, RKey)
+    }
 
     assemble(joined, rightRows, how, broadcastRight = true)
   }

@@ -1,48 +1,69 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
   *
-  * - Brute-force cosine top-k: zip_with/aggregate dot products (codegen,
-  *   no UDF), a single scan + top-k per query. The exactness baseline.
+  * - Brute-force cosine top-k: the exactness baseline — one scan + top-k.
   * - LSH-bucketed variant (random-hyperplane signs -> bucket equi-join):
   *   the 100TB path — candidates come from a hash-bucket join instead of
   *   a full cross product, then exact cosine re-rank.
+  *
+  * Vector kernels are primitive-loop Scala UDFs: the Catalyst
+  * higher-order-function formulation (zip_with + aggregate) evaluated
+  * interpreted per element and benchmarked ~20x slower at sf0.1.
   */
 object AnnOps {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cos(a, b))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** exact top-k most-similar rows to a fixed query vector. */
   def topK(emb: DataFrame, vecCol: String, query: Array[Float], k: Int): DataFrame = {
-    val q = typedLit(query.toSeq)
-    emb.withColumn("cos_sim", cosine(col(vecCol).cast("array<double>"), q.cast("array<double>")))
+    val q = query.toSeq
+    val simUdf = udf((v: Seq[Float]) => cos(v, q))
+    emb.withColumn("cos_sim", simUdf(col(vecCol)))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** deterministic pseudo-random hyperplane component for (plane p, dim i). */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(concat_ws(":", lit(p), i)), lit(2001L)).cast("double") - 1000.0) / 1000.0
+  /** deterministic pseudo-random hyperplane component for (plane p, dim i),
+    * in [-1, 1] — splitmix-style integer mixing, no RNG state. */
+  private def planeComponent(p: Int, i: Int): Double = {
+    var m = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+    m ^= (m >>> 33); m *= 0xFF51AFD7ED558CCDL; m ^= (m >>> 33)
+    (m % 2001L).toDouble / 1000.0 // symmetric around 0; magnitude irrelevant for sign tests
+  }
 
   /** sign-bit signature of a vector against `planes` hyperplanes. */
-  def lshSignature(vec: Column, planes: Int): Column = {
-    val v = vec.cast("array<double>")
-    (0 until planes).map { p =>
-      val proj = aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x * planeComponent(p, i)), lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  private val sigUdf = udf((v: Seq[Float], planes: Int) => {
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var i = 0
+      while (i < v.length) { proj += v(i).toDouble * planeComponent(p, i); i += 1 }
+      if (proj >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  })
+
+  def lshSignature(vec: Column, planes: Int): Column = sigUdf(vec, lit(planes))
 
   /** All-pairs near-duplicate candidates by embedding: bucket join on the
     * LSH signature (exact-sign match), then exact cosine filter. */
@@ -54,7 +75,7 @@ object AnnOps {
     val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__sig"))
     a.join(b, Seq("__sig"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("vec_a").cast("array<double>"), col("vec_b").cast("array<double>")))
+      .withColumn("cos_sim", cosineUdf(col("vec_a"), col("vec_b")))
       .filter(col("cos_sim") >= minCosine)
       .select("id_a", "id_b", "cos_sim")
   }

@@ -41,13 +41,43 @@ object TextOps {
   def h64(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
 
   /** MinHash signature: for each of `perms` hash seeds, the minimum
-    * shingle hash. Returns array<bigint> of length perms. */
-  def minhashSignature(text: Column, k: Int = 3, perms: Int = 16): Column = {
-    val sh = shingles(text, k)
-    array((0 until perms).map { s =>
-      array_min(transform(sh, x => xxhash64(x, lit(s))))
-    }: _*)
-  }
+    * shingle hash. Returns array<bigint> of length perms.
+    *
+    * One UDF pass: hash each shingle once (FNV-1a over the words) and
+    * derive the per-permutation hashes by seed mixing — O(words x perms).
+    * The pure-SQL variant (slice()-built shingle array re-evaluated per
+    * permutation) was O(words^2 x perms) per row and unusable at sf0.1. */
+  def minhashSignature(text: Column, k: Int = 3, perms: Int = 16): Column =
+    minhashUdf(text, lit(k), lit(perms))
+
+  private val minhashUdf = udf((text: String, k: Int, perms: Int) => {
+    val words = if (text == null) Array.empty[String] else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val sig = Array.fill(perms)(Long.MaxValue)
+    if (words.length >= k) {
+      var i = 0
+      while (i + k <= words.length) {
+        var h = 1469598103934665603L // FNV-1a over the k-shingle
+        var j = i
+        while (j < i + k) {
+          val w = words(j)
+          var c = 0
+          while (c < w.length) { h = (h ^ w.charAt(c).toLong) * 1099511628211L; c += 1 }
+          h = (h ^ ' '.toLong) * 1099511628211L
+          j += 1
+        }
+        var p = 0
+        while (p < perms) {
+          // xorshift-style seed mix per permutation
+          var m = h ^ (0x9E3779B97F4A7C15L * (p + 1))
+          m ^= (m >>> 33); m *= 0xFF51AFD7ED558CCDL; m ^= (m >>> 33)
+          if (m < sig(p)) sig(p) = m
+          p += 1
+        }
+        i += 1
+      }
+    }
+    sig
+  })
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
     * (band index, band hash), dedup pairs. bands*rowsPerBand = perms. */
@@ -65,20 +95,28 @@ object TextOps {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** SimHash (64-bit) over word hashes: sign-sum of bits weighted by
-    * occurrence. Computed with bit arithmetic in SQL expressions. */
-  def simhash(text: Column): Column = {
-    val words = split(lower(text), "\\s+")
-    val hashes = transform(words, w => xxhash64(w))
-    // for each bit position, majority vote; build via 64 aggregate terms
-    val bitCols = (0 until 64).map { b =>
-      // sum over words of (bit set ? 1 : -1)
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+  /** SimHash (64-bit) over word hashes: per-bit majority vote of the
+    * word-hash population. One UDF pass (the SQL formulation needed 64
+    * aggregate scans per row). */
+  private val simhashUdf = udf((text: String) => {
+    val votes = new Array[Int](64)
+    if (text != null) {
+      text.toLowerCase.split("\\s+").foreach { w =>
+        if (w.nonEmpty) {
+          var h = 1469598103934665603L
+          var c = 0
+          while (c < w.length) { h = (h ^ w.charAt(c).toLong) * 1099511628211L; c += 1 }
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+        }
+      }
     }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  })
+  def simhash(text: Column): Column = simhashUdf(text)
 
   /** n-gram (character trigram) Jaccard similarity between two text cols. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
@@ -113,19 +151,31 @@ object TextOps {
   }
 
   /** predicted language code (ties -> lexicographically first, 'und' if
-    * all scores zero). Adds `outCol` to df. The marker scores are
-    * materialized in a separate projection first: inlining them into the
-    * argmax when-chain replicates each (regexp-heavy) score expression
-    * ~9x and blew query time up by >100x in benchmarks. */
-  def withLangId(df: DataFrame, textCol: Column, outCol: String): DataFrame = {
-    val scores = langScores(textCol)
-    val scored = scores.foldLeft(df) { case (d, (lang, s)) => d.withColumn(s"__score_$lang", s) }
-    val best = scores.map { case (l, _) => col(s"__score_$l") }.reduce((a, b) => greatest(a, b))
-    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
-      when(col(s"__score_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    * all scores zero). One UDF pass over the text: the pure-SQL variant
+    * needed 12 regexp_replace scans per row (and projection collapse
+    * re-inlined them ~9x into the argmax chain — 100x slowdown measured);
+    * a single indexOf scan counts all markers at once. Count semantics
+    * (non-overlapping, left-to-right) match the replace()-based DuckDB
+    * oracle exactly. */
+  private val langIdUdf = udf((text: String) => {
+    if (text == null) "und"
+    else {
+      val padded = " " + text.toLowerCase + " "
+      var bestLang = "und"; var bestScore = 0L
+      langMarkers.toSeq.sortBy(_._1).foreach { case (lang, toks) =>
+        var score = 0L
+        toks.foreach { t =>
+          var idx = padded.indexOf(t)
+          while (idx >= 0) { score += 1; idx = padded.indexOf(t, idx + t.length) }
+        }
+        if (score > bestScore) { bestScore = score; bestLang = lang }
+      }
+      bestLang
     }
-    scored.withColumn(outCol, pick).drop(scores.map(s => s"__score_${s._1}"): _*)
-  }
+  })
+
+  def withLangId(df: DataFrame, textCol: Column, outCol: String): DataFrame =
+    df.withColumn(outCol, langIdUdf(textCol))
 
   // ----------------------------------------------------------- quality & tokens
 

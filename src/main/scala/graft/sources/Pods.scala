@@ -37,7 +37,13 @@ object Pods {
 
     val withPod = df.withColumn("pod", starePod(col(sidCol), podLevel))
     val partCols = "pod" +: tchunkCol.toSeq
-    withPod.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+    // cluster rows by partition key before writing: without this every
+    // task writes a sliver into every pod directory (tasks x pods small
+    // files — measured 5x slower at sf0.1 and hostile to readers at scale)
+    withPod
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions(col(sidCol))
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
     // per-pod manifests (SID range + row count) — north-rule lineage/metrics
     val mans = withPod.groupBy(col("pod"))
@@ -88,6 +94,23 @@ object Pods {
     val s = new String(Files.readAllBytes(Paths.get(path, "_SNAPSHOT.json")), StandardCharsets.UTF_8)
     """"podLevel":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
       .getOrElse(sys.error("no podLevel in snapshot"))
+  }
+
+  /** Catalog of a pod store (folder2catalog analog, reference
+    * io/folder.py:83-131): one row per pod partition with its SID range,
+    * row count and lineage — read from the JSON manifests, no data scan. */
+  def catalog(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path, "_manifests")
+    val rows = if (!Files.isDirectory(dir)) Seq.empty else
+      Files.list(dir).iterator().asScala.filter(_.toString.endsWith(".json")).map { f =>
+        val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        def l(k: String) = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+        def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        (l("pod"), str("podHex"), l("sidMin"), l("sidMax"), l("rowCount"), str("lineageId"))
+      }.toSeq
+    import spark.implicits._
+    rows.toDF("pod", "podHex", "sidMin", "sidMax", "rowCount", "lineageId")
   }
 
   /** pod ids (cleared locations at podLevel) overlapping a cover. */

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
 object Webtext {
 
   /** SQL fragments shared verbatim with the DuckDB oracle. Modulo-only
-    * arithmetic (no division) so Spark SQL and DuckDB agree exactly. */
+    * integer arithmetic, then ONE division by a double literal: `1e4`,
+    * not `10000.0` — Spark types a decimal-point literal as DECIMAL and
+    * the resulting BigDecimal division dominated the whole geotag+join
+    * pipeline in profiles (MutableBigInteger.divide in every task). */
   val latExpr =
-    "(((length(text) * 2654435761 + ascii(substr(text, 1, 1)) * 7919 + doc_id * 131) % 1700000) / 10000.0 - 85.0)"
+    "(((length(text) * 2654435761 + ascii(substr(text, 1, 1)) * 7919 + doc_id * 131) % 1700000) / 1e4 - 85.0)"
   val lonExpr =
-    "(((doc_id * 2654435761 + length(text) * 97003 + ascii(substr(text, 1, 1)) * 131) % 3600000) / 10000.0 - 180.0)"
+    "(((doc_id * 2654435761 + length(text) * 97003 + ascii(substr(text, 1, 1)) * 131) % 3600000) / 1e4 - 180.0)"
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.{Cover, Geo, Htm, Sid, Tiv}
+import graft.functions.StareFunctions._
+import graft.operators.ToArray
+import graft.sources.Pods
+
+class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def res(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource(s"/$name").toURI)), "UTF-8")
+
+  test("convex-hull cover of germany at level 3 (docstring golden prefix)") {
+    val g = Geo.parseWkt(res("germany.wkt")).asInstanceOf[Geo.PolygonG]
+    val hull = Cover.coverFromHull(g.rings(0)._2, g.rings(0)._1, 3)
+    // sids_from_geoseries(germany, level=3, convex=True) docstring starts
+    // [4251398048237748227, 4269412446747230211, 427...]
+    assert(hull.take(2) === Array(4251398048237748227L, 4269412446747230211L))
+    assert(hull.length >= 3 && hull(2).toString.startsWith("427")) // docstring shows "427..."
+    // hull cover must contain the plain cover (hull is a superset region)
+    val plain = Cover.coverFromPolygon(g.rings, 3, forceCcw = true)
+    val hullRuns = Sid.mergedIntervals(hull)
+    assert(plain.forall(s => Sid.intervalOverlaps(Sid.intervalLo(s), Sid.intervalHi(s), hullRuns)))
+  }
+
+  test("adaptive level from neighbor distance") {
+    assert(Htm.adaptiveLevel(90.0) === 0)
+    assert(Htm.adaptiveLevel(45.0) === 1)
+    assert(Htm.adaptiveLevel(1.0) === 7)  // 90/2^7 = 0.70 <= 1.0 < 1.41
+    assert(Htm.adaptiveLevel(0.0000001) === 27)
+    val sid = Htm.latLonToSid(20.0, 10.5, Htm.adaptiveLevel(1.0))
+    assert(Sid.level(sid) === 7)
+  }
+
+  test("interval tiv covers its span and overlaps members") {
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val t1 = t0 + 3600000L * 6 // six hours
+    val range = Tiv.fromInterval(t0, t1)
+    val member = Tiv.fromUtcMillis(t0 + 3600000L, 48, 48)
+    assert(Tiv.intersectionIfOverlap(range, member) !== -1L)
+    val outside = Tiv.fromUtcMillis(t1 + 86400000L * 7, 48, 48)
+    assert(Tiv.intersectionIfOverlap(range, outside) === -1L)
+  }
+
+  test("pods catalog lists manifests without scanning data") {
+    val dir = java.nio.file.Files.createTempDirectory("podcat").toString
+    val docs = SparkEntry.indexed(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("sid"))
+    Pods.write(docs, dir, "sid", podLevel = 1, lineageId = "cat1")
+    val cat = Pods.catalog(spark, dir)
+    assert(cat.columns.toSeq === Seq("pod", "podHex", "sidMin", "sidMax", "rowCount", "lineageId"))
+    assert(cat.agg(sum("rowCount")).collect()(0).getLong(0) === docs.count())
+    // ranges are consistent with pod ids
+    val bad = cat.filter(col("sidMin") < col("pod")).count()
+    assert(bad === 0)
+  }
+
+  test("to_array pivots x/y grid to a dense matrix") {
+    import spark.implicits._
+    val df = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 4.0)).toDF("x", "y", "v")
+    val m = ToArray(df, "x", "y", "v")
+    assert(m.length === 2 && m(0).toSeq === Seq(1.0, 2.0) && m(1).toSeq === Seq(3.0, 4.0))
+  }
+
+  test("temporal pods: second partition column prunes by tiv chunk") {
+    val dir = java.nio.file.Files.createTempDirectory("tpods").toString
+    val docs = SparkEntry.indexed(spark, "/root/testdata/sf0.001")
+      .withColumn("tchunk", stareTivRange(col("warc_ts"), col("warc_ts")))
+      .select(col("doc_id"), col("sid"), col("warc_ts"), col("tchunk"))
+    Pods.write(docs, dir, "sid", podLevel = 1, lineageId = "tp1", tchunkCol = Some("tchunk"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    assert(back.select("tchunk").distinct().count() > 1)
+  }
+
+  test("bitfield decode pattern (qa word -> flags) with built-ins") {
+    import spark.implicits._
+    // decode_state-style unpack: 2-bit cloud state at bits 0..1, 1-bit
+    // day/night at bit 3 (modis.py:371-402 pattern; pure shiftright/mask)
+    val df = Seq(0x0L, 0x9L, 0x3L).toDF("qa")
+    val out = df.select(
+      col("qa").bitwiseAND(lit(3L)).as("cloud_state"),
+      shiftright(col("qa"), 3).bitwiseAND(lit(1L)).as("day_flag")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 0L), (1L, 1L), (3L, 0L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.streaming.StreamingIndex
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  case class Page(url: String, warc_ts: java.sql.Timestamp, text: String, lang: String)
+
+  test("streaming index appends pod-partitioned parquet with checkpoint resume") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((1 to 50).map(i =>
+      Page(s"https://x/$i", new java.sql.Timestamp(t0.getTime + i * 60000L), s"page number $i content words", "en")))
+
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val q = StreamingIndex.start(mem.toDF(), out, ckpt)
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(out)
+    assert(got.count() === 50)
+    assert(got.columns.contains("pod") && got.columns.contains("sid") && got.columns.contains("tid"))
+    // deterministic sid for same url/text across the stream and batch paths
+    val one = got.filter(col("url") === "https://x/7").select("sid").collect()
+    assert(one.length === 1)
+
+    // restart with same checkpoint: no duplicates (exactly-once sink)
+    val q2 = StreamingIndex.start(mem.toDF(), out, ckpt)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() === 50)
+
+    // new data after resume lands exactly once
+    mem.addData(Page("https://x/51", new java.sql.Timestamp(t0.getTime + 51 * 60000L), "late page", "en"))
+    val q3 = StreamingIndex.start(mem.toDF(), out, ckpt)
+    q3.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() === 51)
+  }
+}
