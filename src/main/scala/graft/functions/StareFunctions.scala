@@ -44,14 +44,12 @@ object StareFunctions {
 
   // ------------------------------------------------------------ kernels (Scala UDFs)
 
-  private val sidUdf = udf((lat: Double, lon: Double, level: Int) => Htm.latLonToSid(lat, lon, level))
+  /** lat/lon (degrees) -> SID at level: native codegen expression. */
+  def stareSid(lat: Column, lon: Column, level: Int): Column =
+    NativeExpressions.stareSidNative(lat, lon, lit(level))
 
-  /** lat/lon (degrees) -> SID at level. */
-  def stareSid(lat: Column, lon: Column, level: Int): Column = sidUdf(lat, lon, lit(level))
-
-  private val clearOwnUdf = udf((sid: Long) => Sid.clearToLevel(sid))
-  /** clear to the sid's own level (dynamic level variant). */
-  def stareClearToOwn(sid: Column): Column = clearOwnUdf(sid)
+  /** clear to the sid's own level (dynamic level variant): native codegen. */
+  def stareClearToOwn(sid: Column): Column = NativeExpressions.stareClearNative(sid)
 
   private val coverUdf = udf((wkt: String, level: Int, forceCcw: Boolean) => {
     Geo.parseWkt(wkt) match {

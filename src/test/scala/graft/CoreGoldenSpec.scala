@@ -144,6 +144,24 @@ class CoreGoldenSpec extends AnyFunSuite {
     assert(dissolved.sorted === want.sorted)
   }
 
+  test("russia cover level 6 first sid (tests/test_parallel.py:46-49)") {
+    val wkt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource("/russia.wkt").toURI)), "UTF-8")
+    val g = Geo.parseWkt(wkt).asInstanceOf[Geo.MultiPolygonG]
+    val cover = g.polys.flatMap(p => Cover.coverFromPolygon(p.rings, 6, forceCcw = true))
+    assert(cover(0) === 3999759419058421766L)
+  }
+
+  test("stare intersection of two polygon covers (staredataframe.py:824-834)") {
+    // nodes1 = [[102,33],[101,35],[105,34],[104,33]] (lon,lat), level 5, force_ccw
+    val c1 = Cover.coverFromPolygon(
+      Array((Array(102.0, 101.0, 105.0, 104.0, 102.0), Array(33.0, 35.0, 34.0, 33.0, 33.0))), 5, forceCcw = true)
+    val c2 = Cover.coverFromPolygon(
+      Array((Array(102.0, 106.0, 106.0, 102.0, 102.0), Array(34.0, 35.0, 33.0, 33.5, 34.0))), 5, forceCcw = true)
+    val inter = Sid.intersection(c1, c2)
+    assert(inter === Array(694117292568477701L, 701435641962954757L, 701998591916376069L))
+  }
+
   // --- ccw on sphere (tests/test_ccw.py) ------------------------------
   test("spherical ccw: antimeridian and poles") {
     // pacific ring crossing the antimeridian (ccw on sphere, cw planar)
