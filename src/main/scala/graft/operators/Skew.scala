@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Sid
+import graft.functions.StareFunctions._
+
+/** Explicit skew handling for the shuffle-path spatial join (SURVEY.md
+  * §4.4 / north rule: hot cells — cities, coastlines — must not melt a
+  * reducer).
+  *
+  * STARE gives an *exact* salting mechanism: a trixel's four children
+  * partition it. Splitting a hot cover cell into descendants rewrites
+  * one fat join key into 4^k disjoint keys whose point populations are
+  * the true spatial sub-populations — the left side derives child keys
+  * directly (clearToLevel at the deeper level), so unlike classic
+  * salting no replication of the probe side is needed and results are
+  * bit-identical.
+  */
+object Skew {
+
+  /** Estimate per-cell point counts from a sample of the left side and
+    * split cells whose projected population exceeds `maxRowsPerCell`
+    * (descending one level quarters the expected population; recurse
+    * up to `maxExtraLevels`). Returns the rewritten cover column data. */
+  def splitHotCells(left: DataFrame, leftSid: String,
+                    right: DataFrame, rightSids: String,
+                    maxRowsPerCell: Long, sampleFraction: Double = 0.01,
+                    maxExtraLevels: Int = 4): DataFrame = {
+    val spark = left.sparkSession
+    // per-cell sample counts (cells normalized at own level)
+    val cells = right.select(explode(stareCompress(col(rightSids))).as("c"))
+      .select(stareClearToOwn(col("c")).as("c")).distinct().collect().map(_.getLong(0))
+    val levels = cells.map(Sid.level).distinct.sorted
+    val sample = left.sample(withReplacement = false, sampleFraction, seed = 42)
+      .select(col(leftSid).as("s"))
+    val keyed = sample.withColumn("k", explode(filter(
+      array(levels.map(l => when(stareLevel(col("s")) >= l, stareClearTo(col("s"), l))): _*),
+      c => c.isNotNull)))
+    val cellSet = cells.toSet
+    val isCell = udf((k: Long) => cellSet.contains(k))
+    val counts = keyed.filter(isCell(col("k"))).groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scale = 1.0 / sampleFraction
+
+    // recursively split hot cells (driver-side: covers are small by design)
+    def split(cell: Long, estRows: Double, extra: Int): Seq[Long] = {
+      if (estRows <= maxRowsPerCell || extra >= maxExtraLevels || Sid.level(cell) >= Sid.MaxLevel) Seq(cell)
+      else {
+        val l = Sid.level(cell)
+        val lo = Sid.intervalLo(cell)
+        val childInc = Sid.increment(l + 1)
+        (0 until 4).flatMap(i => split((lo + i * childInc) | (l + 1), estRows / 4, extra + 1))
+      }
+    }
+    val rewriteUdf = udf((sids: Seq[Long]) => {
+      val canon = Sid.compress(sids.toArray)
+      canon.flatMap { c =>
+        val cell = Sid.clearToLevel(c)
+        split(cell, counts.getOrElse(cell, 0L) * scale, 0)
+      }
+    })
+    right.withColumn(rightSids, rewriteUdf(col(rightSids)))
+  }
+
+  /** Shuffle-path spatial join for cover sides too large to broadcast:
+    * sort-merge/shuffled-hash equi-join on the prefix keys with AQE skew
+    * splitting enabled, optionally after exact hot-cell splitting.
+    * Same pair semantics as StareJoin.pointJoin(how='inner'). */
+  def shuffleJoin(left: DataFrame, leftSid: String, right: DataFrame, rightSids: String,
+                  splitHot: Option[Long] = None): DataFrame = {
+    val r0 = splitHot.map(t => splitHotCells(left, leftSid, right, rightSids, t)).getOrElse(right)
+    val rightRows = r0.withColumn("key_right", monotonically_increasing_id()).persist()
+    val rightKeyed = rightRows
+      .select(col("key_right").as("__rid"), explode(stareCompress(col(rightSids))).as("__rs"))
+      .withColumn("__rk", stareClearToOwn(col("__rs")))
+      .select(col("__rid"), col("__rk"))
+    val levels = rightKeyed.select(stareLevel(col("__rk")).as("l")).distinct()
+      .collect().map(_.getLong(0).toInt).sorted
+    val leftKeyed = left.withColumn("__lk", explode(filter(
+      array(levels.map(l => when(stareLevel(col(leftSid)) >= l, stareClearTo(col(leftSid), l))): _*),
+      c => c.isNotNull)))
+    // no broadcast hint: Catalyst/AQE pick the exchange strategy and the
+    // skew-join splitter handles residual imbalance
+    leftKeyed.join(rightKeyed, col("__lk") === col("__rk"), "inner")
+      .drop("__lk", "__rk")
+      .join(rightRows.drop(rightSids), col("__rid") === rightRows("key_right"), "inner")
+      .drop("__rid")
+  }
+}

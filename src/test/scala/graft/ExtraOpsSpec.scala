@@ -97,4 +97,45 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       shiftright(col("qa"), 3).bitwiseAND(lit(1L)).as("day_flag")).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 0L), (1L, 1L), (3L, 0L)))
   }
+
+  test("hot-cell splitting preserves join results exactly") {
+    import spark.implicits._
+    // 2000 points crammed into one level-6 cell + 50 spread out
+    val hotLat = 10.0; val hotLon = 10.0
+    val pts = ((1 to 2000).map(i => (i.toLong, hotLat + (i % 40) * 0.001, hotLon + (i / 40) * 0.001)) ++
+      (1 to 50).map(i => (10000L + i, -30.0 + i * 0.5, 100.0 + i * 0.5)))
+      .toDF("id", "lat", "lon")
+      .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+    val covers = Seq(
+      ("hot", graft.core.Cover.coverFromPolygon(
+        Array((Array(8.0, 12.0, 12.0, 8.0, 8.0), Array(8.0, 8.0, 12.0, 12.0, 8.0))), 6, forceCcw = true).toSeq),
+      ("cold", graft.core.Cover.coverFromPolygon(
+        Array((Array(99.0, 130.0, 130.0, 99.0, 99.0), Array(-31.0, -31.0, -5.0, -5.0, -31.0))), 6, forceCcw = true).toSeq)
+    ).toDF("region", "sids")
+
+    val split = graft.operators.Skew.splitHotCells(pts, "sid", covers, "sids",
+      maxRowsPerCell = 100, sampleFraction = 0.5)
+    // the hot cover must now contain deeper cells than the original
+    val maxLevOrig = covers.select(explode(col("sids")).as("s")).agg(max(stareLevel(col("s")))).collect()(0).getLong(0)
+    val maxLevSplit = split.select(explode(col("sids")).as("s")).agg(max(stareLevel(col("s")))).collect()(0).getLong(0)
+    assert(maxLevSplit > maxLevOrig)
+    // identical pair results through the shuffle join with and without split
+    val base = graft.operators.Skew.shuffleJoin(pts, "sid", covers, "sids")
+      .select("id", "region").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val after = graft.operators.Skew.shuffleJoin(pts, "sid", covers, "sids", splitHot = Some(100L))
+      .select("id", "region").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === base)
+    val viaBroadcast = graft.operators.StareJoin.pointJoin(pts, "sid", covers, "sids", how = "inner")
+      .select("id", "region").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(base === viaBroadcast)
+  }
+
+  test("raster grid encodes pixels at an adapted level and roundtrips via pivot") {
+    val g = graft.sources.Raster.gridToDf(spark, 16, 8, -10.0, 50.0, 0.25, -0.25)
+    assert(g.count() === 128)
+    val lvl = g.select(stareLevel(col("sid"))).distinct().collect().map(_.getLong(0))
+    assert(lvl.length === 1 && lvl(0) === graft.core.Htm.adaptiveLevel(0.25))
+    val m = graft.operators.ToArray(g.withColumn("v", col("sid").cast("double")), "y", "x", "v")
+    assert(m.length === 8 && m(0).length === 16 && !m.exists(_.exists(_.isNaN)))
+  }
 }
