@@ -285,7 +285,17 @@ object SparkEntry {
            |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q14_geotag" ->
         s"""SELECT doc_id, round($lat, 4) AS lat, round($lon, 4) AS lon
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q17_ann_topk" -> {
+        // query vector = float32-truncated sines, then cosine in DOUBLE
+        // on both engines (DuckDB computes FLOAT[] cosines in float32,
+        // which shifts the 4th decimal; the double cast aligns them)
+        val qvec = (0 until 64).map(i => (math.sin(i + 1) / 8.0).toFloat.toDouble)
+          .mkString("[", ",", "]::DOUBLE[]")
+        s"""SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], $qvec), 4) AS cos_sim_r
+           |FROM embeddings
+           |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvec) DESC, vec_id LIMIT 20""".stripMargin
+      }
     )
   }
 }
