@@ -45,20 +45,24 @@ object Pods {
       .sortWithinPartitions(col(sidCol))
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
-    // per-pod manifests (SID range + row count) — north-rule lineage/metrics
+    // per-pod manifests (SID range + row count) — north-rule lineage/
+    // metrics. One consolidated file, atomically renamed: per-pod files
+    // were the slowest part of the bench roundtrip at a few hundred
+    // pods and would be 10^5 tiny files at production pod counts.
     val mans = withPod.groupBy(col("pod"))
       .agg(min(col(sidCol)).as("sidMin"), max(col(sidCol)).as("sidMax"), count(lit(1)).as("rowCount"))
       .collect()
       .map(r => PodManifest(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_.pod)
 
     val manifestDir = Paths.get(path, "_manifests")
     Files.createDirectories(manifestDir)
-    mans.foreach { m =>
-      val json =
-        s"""{"pod":${m.pod},"podHex":"${Sid.hex(m.pod)}","sidMin":${m.sidMin},"sidMax":${m.sidMax},""" +
-          s""""rowCount":${m.rowCount},"lineageId":"$lineageId"}"""
-      atomicWrite(manifestDir.resolve(f"pod-${m.pod}%016x.json").toString, json)
+    val entries = mans.map { m =>
+      s"""{"pod":${m.pod},"podHex":"${Sid.hex(m.pod)}","sidMin":${m.sidMin},"sidMax":${m.sidMax},""" +
+        s""""rowCount":${m.rowCount},"lineageId":"$lineageId"}"""
     }
+    atomicWrite(manifestDir.resolve("manifests.json").toString,
+      entries.mkString("[\n", ",\n", "\n]"))
     val snapshot =
       s"""{"lineageId":"$lineageId","podLevel":$podLevel,"pods":${mans.length},""" +
         s""""rows":${mans.map(_.rowCount).sum},"committedAtMs":${System.currentTimeMillis()}}"""
@@ -100,15 +104,15 @@ object Pods {
     * io/folder.py:83-131): one row per pod partition with its SID range,
     * row count and lineage — read from the JSON manifests, no data scan. */
   def catalog(spark: SparkSession, path: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val dir = Paths.get(path, "_manifests")
-    val rows = if (!Files.isDirectory(dir)) Seq.empty else
-      Files.list(dir).iterator().asScala.filter(_.toString.endsWith(".json")).map { f =>
-        val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-        def l(k: String) = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-        def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    val f = Paths.get(path, "_manifests", "manifests.json")
+    val rows = if (!Files.exists(f)) Seq.empty else {
+      val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      s.linesIterator.filter(_.trim.startsWith("{")).map { line =>
+        def l(k: String) = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+        def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
         (l("pod"), str("podHex"), l("sidMin"), l("sidMax"), l("rowCount"), str("lineageId"))
       }.toSeq
+    }
     import spark.implicits._
     rows.toDF("pod", "podHex", "sidMin", "sidMax", "rowCount", "lineageId")
   }
