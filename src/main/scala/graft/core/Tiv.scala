@@ -131,6 +131,21 @@ object Tiv {
     fromUtcMillis(center, fwd, rev)
   }
 
+  /** Interval TIV guaranteed to COVER [startMs, endMs]: like
+    * fromInterval but each resolution steps one unit coarser when the
+    * finer-or-equal unit undershoots its half-span, so interval(tiv) ⊇
+    * [startMs, endMs]. This is the safe direction for partition-pruning
+    * manifests (a chunk may only look BIGGER than it is, never smaller). */
+  def fromIntervalCovering(startMs: Long, endMs: Long): Long = {
+    val center = (startMs + endMs) / 2
+    def covering(span: Long): Int = {
+      val s = math.max(1L, span)
+      val r = coarsestResolutionFinerOrEqualMs(s)
+      if (resolutionMillis(r) >= s) r else math.max(0, r - 1)
+    }
+    fromUtcMillis(center, covering(endMs - center), covering(center - startMs))
+  }
+
   /** Overlap test mirroring temporal_value_intersection_if_overlap
     * (-1 = no overlap). Returns the midpoint TIV of the overlap. */
   def intersectionIfOverlap(a: Long, b: Long): Long = {

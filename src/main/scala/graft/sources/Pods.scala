@@ -1,10 +1,11 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Sid
+import graft.core.{Sid, Tiv}
 import graft.functions.StareFunctions._
 
 /** STAREPods: SID-partitioned storage with per-partition manifests and
@@ -14,60 +15,122 @@ import graft.functions.StareFunctions._
   * writes one pickle per trixel directory (staredataframe.py:1086-1297),
   * reading back with spatial+temporal partition pruning (io/pod.py:24-259).
   * Here: Parquet partitioned by `pod` (cleared location at pod level),
-  * optional second partition column `tchunk` (temporal chunk id), plus an
-  * Iceberg-style snapshot: one JSON manifest per pod partition carrying
-  * {pod, sidMin, sidMax, rowCount, lineageId} and a final atomically-
-  * renamed _SNAPSHOT.json committing the write. A rerun of the same
-  * lineageId short-circuits if the snapshot exists (idempotent resume);
-  * dynamic partition overwrite makes partial rewrites safe.
+  * optional second partition column `tchunk` (temporal chunk id derived
+  * from a timestamp column), plus an Iceberg-style snapshot: a JSON
+  * manifest per (pod[, tchunk]) partition carrying SID range, row count
+  * and time bounds, and a final atomically-renamed _SNAPSHOT.json
+  * committing the write.
+  *
+  * Resume / commit contract (the north-rule idempotence property):
+  *  - a snapshot commits a (formatVersion, lineageId) pair; a rerun of
+  *    the SAME lineage against a committed store is a no-op;
+  *  - a snapshot with a STALE formatVersion or a missing consolidated
+  *    manifest is treated as NOT committed and the write re-runs
+  *    (round-1 bug: a layout change behind an old snapshot made
+  *    catalog() silently return 0 rows);
+  *  - writing a DIFFERENT lineageId over a committed store replaces the
+  *    store wholesale (old pod directories are deleted first) so the
+  *    manifest can never diverge from the data files;
+  *  - an UNcommitted partial state (crash before snapshot rename) is
+  *    safely overwritten by dynamic partition overwrite.
+  *
+  * Manifests are derived by reading back the committed parquet files —
+  * one cheap columnar scan of (sid, ts) — so they are consistent with
+  * what was actually written even for non-deterministic inputs, and the
+  * input pipeline is computed exactly once.
   */
 object Pods {
 
-  final case class PodManifest(pod: Long, sidMin: Long, sidMax: Long, rowCount: Long)
+  /** Bump whenever the on-disk layout (partitioning, manifest schema,
+    * snapshot fields) changes: a mismatched store is rewritten. */
+  final val FormatVersion = 2
 
+  final case class ChunkManifest(pod: Long, tchunk: Long, sidMin: Long, sidMax: Long,
+                                 rowCount: Long, tsMinMs: Long, tsMaxMs: Long,
+                                 lineageId: String) {
+    def hasChunk: Boolean = tchunk != NoChunk
+    def hasTs: Boolean = tsMinMs != Long.MinValue
+  }
+  final val NoChunk: Long = Long.MinValue
+
+  /** Write a pod store. `tsCol` (a timestamp column) switches on
+    * temporal chunking: rows are sub-partitioned by `tchunk` =
+    * floor(epochMs / chunkMs) and each chunk manifest
+    * records its exact [tsMin, tsMax] for read-side temporal pruning
+    * (write_pods_granule semantics, reference staredataframe.py:1160-1167). */
   def write(df: DataFrame, path: String, sidCol: String, podLevel: Int,
-            lineageId: String, tchunkCol: Option[String] = None): Unit = {
+            lineageId: String, tsCol: Option[String] = None,
+            chunkMs: Long = 30L * 86400000L): Unit = {
     val spark = df.sparkSession
-    val snapshotFile = Paths.get(path, "_SNAPSHOT.json")
-    if (Files.exists(snapshotFile)) {
-      val existing = new String(Files.readAllBytes(snapshotFile), StandardCharsets.UTF_8)
-      if (existing.contains(s""""lineageId":"$lineageId"""")) return // committed: resume is a no-op
+    snapshotInfo(path) match {
+      case Some((FormatVersion, lin)) if lin == lineageId && manifestsFile(path).toFile.exists() =>
+        return // committed by this lineage under the current layout: resume is a no-op
+      case Some(_) =>
+        // committed by another lineage or a stale layout: replace the
+        // store wholesale so stale pod directories can't outlive the
+        // manifest that no longer lists them (catalog/data divergence)
+        deleteRecursively(Paths.get(path))
+      case None => // absent or partial (no/invalid snapshot): dynamic overwrite below
     }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val withPod = df.withColumn("pod", starePod(col(sidCol), podLevel))
-    val partCols = "pod" +: tchunkCol.toSeq
+    val withPod0 = df.withColumn("pod", starePod(col(sidCol), podLevel))
+    val withPod = tsCol match {
+      case Some(ts) => withPod0.withColumn("tchunk",
+        floor((col(ts).cast("double") * 1000).cast("long") / chunkMs).cast("long"))
+      case None => withPod0
+    }
+    val partCols = "pod" +: tsCol.map(_ => "tchunk").toSeq
     // cluster rows by partition key before writing: without this every
     // task writes a sliver into every pod directory (tasks x pods small
     // files — measured 5x slower at sf0.1 and hostile to readers at scale)
     withPod
       .repartition(partCols.map(col): _*)
       .sortWithinPartitions(col(sidCol))
-      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic") // per-write, not session-wide
+      .partitionBy(partCols: _*).parquet(path)
 
-    // per-pod manifests (SID range + row count) — north-rule lineage/
-    // metrics. One consolidated file, atomically renamed: per-pod files
-    // were the slowest part of the bench roundtrip at a few hundred
-    // pods and would be 10^5 tiny files at production pod counts.
-    val mans = withPod.groupBy(col("pod"))
-      .agg(min(col(sidCol)).as("sidMin"), max(col(sidCol)).as("sidMax"), count(lit(1)).as("rowCount"))
-      .collect()
-      .map(r => PodManifest(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_.pod)
+    // manifests from the COMMITTED files: one narrow column scan of the
+    // store (sid + partition values [+ ts]), no recompute of the input.
+    // partition-value types are INFERRED on read (small tchunk values
+    // come back as int): normalize to long before aggregating
+    val back = partCols.foldLeft(spark.read.parquet(path))((d, c) =>
+      d.withColumn(c, col(c).cast("long")))
+    val groupCols = partCols.map(col)
+    val aggs = Seq(
+      min(col(sidCol)).as("sidMin"), max(col(sidCol)).as("sidMax"),
+      count(lit(1)).as("rowCount")) ++ tsCol.toSeq.flatMap(ts => Seq(
+      min((col(ts).cast("double") * 1000).cast("long")).as("tsMin"),
+      max((col(ts).cast("double") * 1000).cast("long")).as("tsMax")))
+    val rows = back.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*).collect()
+    val mans = rows.map { r =>
+      val pod = r.getLong(r.fieldIndex("pod"))
+      val tchunk = if (tsCol.isDefined) r.getLong(r.fieldIndex("tchunk")) else NoChunk
+      val (tsMin, tsMax) =
+        if (tsCol.isDefined) (r.getLong(r.fieldIndex("tsMin")), r.getLong(r.fieldIndex("tsMax")))
+        else (Long.MinValue, Long.MinValue)
+      ChunkManifest(pod, tchunk, r.getLong(r.fieldIndex("sidMin")),
+        r.getLong(r.fieldIndex("sidMax")), r.getLong(r.fieldIndex("rowCount")),
+        tsMin, tsMax, lineageId)
+    }.sortBy(m => (m.pod, m.tchunk))
 
     val manifestDir = Paths.get(path, "_manifests")
     Files.createDirectories(manifestDir)
     val entries = mans.map { m =>
-      s"""{"pod":${m.pod},"podHex":"${Sid.hex(m.pod)}","sidMin":${m.sidMin},"sidMax":${m.sidMax},""" +
-        s""""rowCount":${m.rowCount},"lineageId":"$lineageId"}"""
+      s"""{"pod":${m.pod},"podHex":"${Sid.hex(m.pod)}","tchunk":${m.tchunk},""" +
+        s""""sidMin":${m.sidMin},"sidMax":${m.sidMax},"rowCount":${m.rowCount},""" +
+        s""""tsMinMs":${m.tsMinMs},"tsMaxMs":${m.tsMaxMs},"lineageId":"$lineageId"}"""
     }
-    atomicWrite(manifestDir.resolve("manifests.json").toString,
-      entries.mkString("[\n", ",\n", "\n]"))
+    atomicWrite(manifestsFile(path).toString, entries.mkString("[\n", ",\n", "\n]"))
     val snapshot =
-      s"""{"lineageId":"$lineageId","podLevel":$podLevel,"pods":${mans.length},""" +
+      s"""{"formatVersion":$FormatVersion,"lineageId":"$lineageId","podLevel":$podLevel,""" +
+        s""""hasTchunk":${tsCol.isDefined},"chunkMs":$chunkMs,""" +
+        s""""pods":${mans.map(_.pod).distinct.length},"chunks":${mans.length},""" +
         s""""rows":${mans.map(_.rowCount).sum},"committedAtMs":${System.currentTimeMillis()}}"""
-    atomicWrite(snapshotFile.toString, snapshot)
+    atomicWrite(Paths.get(path, "_SNAPSHOT.json").toString, snapshot)
   }
+
+  private def manifestsFile(path: String): Path = Paths.get(path, "_manifests", "manifests.json")
 
   private def atomicWrite(dest: String, content: String): Unit = {
     val tmp = Paths.get(dest + ".tmp")
@@ -75,21 +138,77 @@ object Pods {
     Files.move(tmp, Paths.get(dest), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def isCommitted(path: String, lineageId: String): Boolean = {
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+
+  /** (formatVersion, lineageId) of the snapshot, if one parses. */
+  private def snapshotInfo(path: String): Option[(Int, String)] = {
     val f = Paths.get(path, "_SNAPSHOT.json")
-    Files.exists(f) && new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      .contains(s""""lineageId":"$lineageId"""")
+    if (!Files.exists(f)) None
+    else {
+      val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val ver = """"formatVersion"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
+      val lin = """"lineageId"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      Some((ver, lin))
+    }
   }
 
-  /** Read with spatial partition pruning: only pods whose interval
-    * intersects the query cover are scanned (partition filter -> no
-    * file IO outside the requested pods; the reference reads chunk
-    * globs per sid, io/pod.py:166-230). */
-  def read(spark: SparkSession, path: String, cover: Array[Long]): DataFrame = {
-    val df = spark.read.parquet(path)
-    val podLevel = snapshotPodLevel(path)
-    val pods = podsForCover(cover, podLevel)
-    df.filter(col("pod").isin(pods: _*))
+  /** committed = snapshot parses, carries the CURRENT format version and
+    * this lineage, and the consolidated manifest actually exists. */
+  def isCommitted(path: String, lineageId: String): Boolean =
+    snapshotInfo(path).contains((FormatVersion, lineageId)) && Files.exists(manifestsFile(path))
+
+  /** Parse the consolidated manifest (empty when absent). */
+  def manifests(path: String): Seq[ChunkManifest] = {
+    val f = manifestsFile(path)
+    if (!Files.exists(f)) Seq.empty
+    else {
+      val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      s.linesIterator.filter(_.trim.startsWith("{")).map { line =>
+        def l(k: String) = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+        def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+        ChunkManifest(l("pod"), if (line.contains("\"tchunk\":")) l("tchunk") else NoChunk,
+          l("sidMin"), l("sidMax"), l("rowCount"),
+          if (line.contains("\"tsMinMs\":")) l("tsMinMs") else Long.MinValue,
+          if (line.contains("\"tsMaxMs\":")) l("tsMaxMs") else Long.MinValue, str("lineageId"))
+      }.toSeq
+    }
+  }
+
+  /** Read with spatial (and optional temporal) partition pruning.
+    *
+    * Pruning is manifest-driven and happens at FILE LISTING time: only
+    * the partition directories whose pod id overlaps the query cover —
+    * and, given `timeRangeMs`, whose chunk TIV overlaps the query TIV
+    * (reference io/pod.py:189-230) — are handed to the parquet reader.
+    * Directories outside the selection are never listed or opened.
+    * Temporal overlap uses Tiv.intersectionIfOverlap on covering TIVs,
+    * which is conservative (never prunes a chunk that holds in-range
+    * rows); callers refine with an exact timestamp filter. */
+  def read(spark: SparkSession, path: String, cover: Array[Long],
+           timeRangeMs: Option[(Long, Long)] = None): DataFrame = {
+    val mans = manifests(path)
+    if (mans.isEmpty) {
+      // foreign / manifest-less store: full listing, pod filter only
+      val podLevel = snapshotPodLevel(path)
+      val pods = podsForCover(cover, podLevel)
+      return spark.read.parquet(path).filter(col("pod").isin(pods: _*))
+    }
+    val podSet = podsForCover(cover, snapshotPodLevel(path)).toSet
+    val queryTiv = timeRangeMs.map { case (a, b) => Tiv.fromIntervalCovering(a, b) }
+    val selected = mans.filter { m =>
+      podSet.contains(m.pod) && (queryTiv match {
+        case Some(q) if m.hasTs =>
+          Tiv.intersectionIfOverlap(Tiv.fromIntervalCovering(m.tsMinMs, m.tsMaxMs), q) != -1L
+        case _ => true
+      })
+    }
+    if (selected.isEmpty) return readAll(spark, path).filter(lit(false))
+    val dirs = selected.map { m =>
+      if (m.hasChunk) s"$path/pod=${m.pod}/tchunk=${m.tchunk}" else s"$path/pod=${m.pod}"
+    }.distinct
+    spark.read.option("basePath", path).parquet(dirs: _*)
   }
 
   def readAll(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
@@ -101,20 +220,40 @@ object Pods {
   }
 
   /** Catalog of a pod store (folder2catalog analog, reference
-    * io/folder.py:83-131): one row per pod partition with its SID range,
-    * row count and lineage — read from the JSON manifests, no data scan. */
+    * io/folder.py:83-131): one row per pod with its SID range, row count
+    * and lineage. Served from the JSON manifests (no data scan); if the
+    * manifests are missing but data exists (foreign store), falls back
+    * to one aggregation scan over the parquet files. */
   def catalog(spark: SparkSession, path: String): DataFrame = {
-    val f = Paths.get(path, "_manifests", "manifests.json")
-    val rows = if (!Files.exists(f)) Seq.empty else {
-      val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      s.linesIterator.filter(_.trim.startsWith("{")).map { line =>
-        def l(k: String) = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
-        def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
-        (l("pod"), str("podHex"), l("sidMin"), l("sidMax"), l("rowCount"), str("lineageId"))
-      }.toSeq
-    }
     import spark.implicits._
-    rows.toDF("pod", "podHex", "sidMin", "sidMax", "rowCount", "lineageId")
+    val mans = manifests(path)
+    if (mans.nonEmpty) {
+      mans.groupBy(_.pod).toSeq.map { case (pod, ms) =>
+        (pod, Sid.hex(pod), ms.map(_.sidMin).min, ms.map(_.sidMax).max,
+          ms.map(_.rowCount).sum, ms.head.lineageId)
+      }.sortBy(_._1).toDF("pod", "podHex", "sidMin", "sidMax", "rowCount", "lineageId")
+    } else if (Files.exists(Paths.get(path)) &&
+      Files.list(Paths.get(path)).anyMatch(p => p.getFileName.toString.startsWith("pod="))) {
+      // fallback: rebuild the catalog from the data files themselves
+      val hexUdf = udf((p: Long) => Sid.hex(p))
+      spark.read.parquet(path).groupBy(col("pod"))
+        .agg(min(col("sid")).as("sidMin"), max(col("sid")).as("sidMax"), count(lit(1)).as("rowCount"))
+        .select(col("pod"), hexUdf(col("pod")).as("podHex"), col("sidMin"), col("sidMax"),
+          col("rowCount"), lit("").as("lineageId"))
+        .orderBy(col("pod"))
+    } else {
+      Seq.empty[(Long, String, Long, Long, Long, String)]
+        .toDF("pod", "podHex", "sidMin", "sidMax", "rowCount", "lineageId")
+    }
+  }
+
+  /** Per-chunk catalog with temporal bounds (tchunk stores only). */
+  def chunkCatalog(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    manifests(path).filter(_.hasChunk)
+      .map(m => (m.pod, m.tchunk, m.sidMin, m.sidMax, m.rowCount, m.tsMinMs, m.tsMaxMs,
+        Tiv.fromIntervalCovering(m.tsMinMs, m.tsMaxMs), m.lineageId))
+      .toDF("pod", "tchunk", "sidMin", "sidMax", "rowCount", "tsMinMs", "tsMaxMs", "tiv", "lineageId")
   }
 
   /** pod ids (cleared locations at podLevel) overlapping a cover. */

@@ -76,15 +76,59 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.length === 2 && m(0).toSeq === Seq(1.0, 2.0) && m(1).toSeq === Seq(3.0, 4.0))
   }
 
-  test("temporal pods: second partition column prunes by tiv chunk") {
+  test("temporal pods: time-range read prunes chunk files at listing time") {
     val dir = java.nio.file.Files.createTempDirectory("tpods").toString
     val docs = SparkEntry.indexed(spark, "/root/testdata/sf0.001")
-      .withColumn("tchunk", stareTivRange(col("warc_ts"), col("warc_ts")))
-      .select(col("doc_id"), col("sid"), col("warc_ts"), col("tchunk"))
-    Pods.write(docs, dir, "sid", podLevel = 1, lineageId = "tp1", tchunkCol = Some("tchunk"))
+      .select(col("doc_id"), col("sid"), col("warc_ts"))
+    // warc_ts spans ~3050 s at sf0.001: 10-minute chunks give ~6 chunks
+    Pods.write(docs, dir, "sid", podLevel = 1, lineageId = "tp1",
+      tsCol = Some("warc_ts"), chunkMs = 600000L)
     val back = spark.read.parquet(dir)
     assert(back.count() === docs.count())
     assert(back.select("tchunk").distinct().count() > 1)
+
+    // a 20-minute window over ~50 minutes of data: the pruned read must
+    // list only in-window (or boundary) chunk files, lose no in-range rows
+    val fullCover = (0 until 8).map(f => f.toLong << 59).toArray // the 8 level-0 root trixels
+    val t0 = 1700000600000L
+    val t1 = 1700001800000L
+    val pruned = Pods.read(spark, dir, fullCover, timeRangeMs = Some((t0, t1)))
+    val prunedFiles = pruned.inputFiles.toSet
+    val allFiles = spark.read.parquet(dir).inputFiles.toSet
+    assert(prunedFiles.subsetOf(allFiles) && prunedFiles.size < allFiles.size)
+    val exactPruned = pruned
+      .filter((col("warc_ts").cast("double") * 1000).cast("long").between(t0, t1)).count()
+    val exactFull = back
+      .filter((col("warc_ts").cast("double") * 1000).cast("long").between(t0, t1)).count()
+    assert(exactPruned === exactFull && exactFull > 0)
+  }
+
+  test("pods: stale-format snapshot is rewritten, not resumed (r1 q31 bug)") {
+    val dir = java.nio.file.Files.createTempDirectory("stalepods").toString
+    val docs = SparkEntry.indexed(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("sid"))
+    // simulate a pre-formatVersion store: old-layout snapshot, no manifests
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_SNAPSHOT.json"),
+      """{"lineageId":"legacy1","podLevel":2,"pods":3,"rows":10,"committedAtMs":0}""")
+    assert(!Pods.isCommitted(dir, "legacy1"))
+    Pods.write(docs, dir, "sid", podLevel = 2, lineageId = "legacy1")
+    assert(Pods.isCommitted(dir, "legacy1"))
+    val cat = Pods.catalog(spark, dir)
+    assert(cat.agg(sum("rowCount")).collect()(0).getLong(0) === docs.count())
+  }
+
+  test("pods: new lineage replaces the store wholesale (no catalog/data divergence)") {
+    val dir = java.nio.file.Files.createTempDirectory("linpods").toString
+    val docs = SparkEntry.indexed(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("sid"))
+    Pods.write(docs, dir, "sid", podLevel = 2, lineageId = "lin1")
+    val podsBefore = Pods.catalog(spark, dir).count()
+    // second lineage writes a SUBSET (northern hemisphere only): leftover
+    // southern pods from lin1 must not survive in the data files
+    val north = docs.filter(col("doc_id") % 2 === 0)
+    Pods.write(north, dir, "sid", podLevel = 2, lineageId = "lin2")
+    val cat = Pods.catalog(spark, dir)
+    assert(cat.agg(sum("rowCount")).collect()(0).getLong(0) === north.count())
+    assert(Pods.readAll(spark, dir).count() === north.count()) // files agree with catalog
+    assert(podsBefore > 0)
   }
 
   test("bitfield decode pattern (qa word -> flags) with built-ins") {
