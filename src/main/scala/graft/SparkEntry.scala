@@ -1,37 +1,71 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Cover, Sid}
-import graft.functions.{DissolveAgg, StareFunctions}
 import graft.functions.StareFunctions._
 import graft.operators.{Dissolve, KnnJoin, SpeedySubset, StareJoin}
 import graft.pipeline.{AnnOps, Multimodal, TextOps}
 import graft.sources.{Pods, Webtext}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Oracle design: every STARE query is structured so its FINAL answer is
+  * exactly SQL-derivable while the kernel still does the work — the
+  * cover join / pod pruning / ring expansion PRUNES (it may never lose a
+  * row), an exact lat/lon-box or distance or timestamp predicate DECIDES,
+  * and DuckDB recomputes the decision directly. Hash kernels (simhash,
+  * fingerprints, the multimodal stub) are ported to DuckDB SQL verbatim
+  * in mod-2^64 HUGEINT arithmetic. Invariant columns (in_trixel,
+  * roundtrip_ok, dissolve_exact) cross-check two independent engine code
+  * paths against a constant the oracle also emits.
+  */
 object SparkEntry {
 
-  /** south-american country boxes (rough), used as the cover side of the
-    * flagship geotag->index->join->dissolve pipeline. Deterministic,
-    * level 6 like the reference join fixture (tests/test_join.py:73). */
-  private[graft] def countryBoxes: Seq[(String, Array[Double], Array[Double])] = Seq(
-    // name, lons, lats (closed rings, ccw)
-    ("brazil",    Array(-74.0, -34.0, -34.0, -74.0, -74.0), Array(-34.0, -34.0, 5.0, 5.0, -34.0)),
-    ("argentina", Array(-73.0, -53.0, -53.0, -73.0, -73.0), Array(-55.0, -55.0, -21.0, -21.0, -55.0)),
-    ("peru",      Array(-81.0, -68.0, -68.0, -81.0, -81.0), Array(-18.0, -18.0, 0.0, 0.0, -18.0)),
-    ("colombia",  Array(-79.0, -66.0, -66.0, -79.0, -79.0), Array(-4.0, -4.0, 12.0, 12.0, -4.0)),
-    ("africa_w",  Array(-17.0, 10.0, 10.0, -17.0, -17.0),  Array(4.0, 4.0, 28.0, 28.0, 4.0)),
-    ("europe_c",  Array(-10.0, 25.0, 25.0, -10.0, -10.0),  Array(36.0, 36.0, 60.0, 60.0, 36.0)),
-    ("asia_se",   Array(95.0, 140.0, 140.0, 95.0, 95.0),   Array(-10.0, -10.0, 25.0, 25.0, -10.0)),
-    ("pacific",   Array(165.0, -150.0, -150.0, 165.0, 165.0), Array(-30.0, -30.0, 10.0, 10.0, -30.0)))
+  /** Query regions: lat/lon boxes (one crossing the antimeridian). The
+    * exact containment predicate is shared, literal for literal, with
+    * the DuckDB oracle SQL. */
+  final case class Region(name: String, lonMin: Double, lonMax: Double,
+                          latMin: Double, latMax: Double, wraps: Boolean = false)
+
+  private[graft] val regions: Seq[Region] = Seq(
+    Region("brazil", -74, -34, -34, 5),
+    Region("argentina", -73, -53, -55, -21),
+    Region("peru", -81, -68, -18, 0),
+    Region("colombia", -79, -66, -4, 12),
+    Region("africa_w", -17, 10, 4, 28),
+    Region("europe_c", -10, 25, 36, 60),
+    Region("asia_se", 95, 140, -10, 25),
+    Region("pacific", 165, -150, -30, 10, wraps = true))
+
+  private[graft] def region(name: String): Region = regions.find(_.name == name).get
+
+  /** Inflated + densified box cover: guaranteed superset of the box
+    * (Cover.coverFromBox doc), so the cover join can only over-match —
+    * never lose a row — before the exact refine. */
+  private[graft] def regionCover(r: Region, level: Int = 6): Array[Long] =
+    if (!r.wraps) Cover.coverFromBox(r.lonMin, r.lonMax, r.latMin, r.latMax, level)
+    else Sid.compress(
+      Cover.coverFromBox(r.lonMin, 180.0, r.latMin, r.latMax, level) ++
+        Cover.coverFromBox(-180.0, r.lonMax, r.latMin, r.latMax, level))
 
   private[graft] def coversDf(spark: SparkSession, level: Int = 6): DataFrame = {
     import spark.implicits._
-    countryBoxes.map { case (name, lons, lats) =>
-      (name, Cover.coverFromPolygon(Array((lons, lats)), level, forceCcw = true).toSeq)
-    }.toDF("region_name", "sids")
+    regions.map(r => (r.name, regionCover(r, level).toSeq)).toDF("region_name", "sids")
   }
+
+  /** exact box containment on the lat/lon columns — the refine step. */
+  private[graft] def inRegion(r: Region): Column = {
+    val latOk = col("lat") >= r.latMin && col("lat") <= r.latMax
+    val lonOk =
+      if (r.wraps) col("lon") >= r.lonMin || col("lon") <= r.lonMax
+      else col("lon") >= r.lonMin && col("lon") <= r.lonMax
+    latOk && lonOk
+  }
+
+  /** row matched to region R must satisfy R's exact box predicate. */
+  private def refineMatched: Column =
+    regions.map(r => col("region_name") === r.name && inRegion(r)).reduce(_ || _)
 
   /** geotagged + sid-indexed webtext table. */
   private[graft] def indexed(spark: SparkSession, sfDir: String, level: Int = 26): DataFrame =
@@ -46,8 +80,10 @@ object SparkEntry {
     joined.groupBy(col("region_name")).agg(count(lit(1)).as("pages"))
   }
 
-  /** One per implemented operator from SURVEY.md §2. All queries order
-    * deterministically. */
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational baseline (Catalyst built-ins) --------
     "q01_lineitem_agg" -> ((s, dir) => {
@@ -105,7 +141,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q15_minhash_dups" -> ((s, dir) => {
-      TextOps.minhashCandidates(s.read.parquet(s"$dir/documents.parquet"))
+      // LSH candidates (16 bands x 2 rows: miss prob <= 5e-8 at J=0.8),
+      // then EXACT shingle-Jaccard refine — the output is the exact
+      // J>=0.5 pair set, which DuckDB recomputes by brute force
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val cands = TextOps.minhashCandidates(d)
+      val ta = d.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
+      val tb = d.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
+      cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+        .withColumn("jaccard", TextOps.shingleJaccard(col("__ta"), col("__tb")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q16_simhash" -> ((s, dir) => {
@@ -120,11 +166,16 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
     "q18_near_dup_pairs" -> ((s, dir) => {
-      // thresholds sized for the synthetic random embeddings (pairwise
-      // cosine ~N(0, 1/8)): in a real near-dup pass planes/minCosine
-      // rise to ~16/0.95
-      AnnOps.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), "embedding", "vec_id",
-          planes = 8, minCosine = 0.25)
+      // planted near-dups: each vector unioned with an exact 0.5-scaled
+      // copy (scaling by a power of two is exact in float, so signatures
+      // are identical and banded-LSH recall is exactly 1). Oracle:
+      // brute-force cosine >= 0.9 over the same derived table.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val copies = emb.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(0.5f)).cast("float")).as("embedding"))
+      val aug = emb.select("vec_id", "embedding").unionByName(copies)
+      AnnOps.nearDupPairs(aug, "embedding", "vec_id",
+          bands = 16, planesPerBand = 4, minCosine = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim_r"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -133,61 +184,95 @@ object SparkEntry {
       d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
-    // ---------------- STARE operators (no SQL oracle) -----------------
+    // ---------------- STARE operators --------------------------------
     "q20_stare_index" -> ((s, dir) => {
-      indexed(s, dir)
-        .select(col("doc_id"), col("sid"), stareLevel(col("sid")).as("level"),
-          stareHex(col("sid")).as("sid_hex"))
+      // encode invariants cross-checked through independent paths: the
+      // gring half-space containment test and decode-center->re-encode
+      indexed(s, dir).select(col("doc_id"),
+          stareLevel(col("sid")).as("level"),
+          round(col("lat"), 4).as("lat_r"), round(col("lon"), 4).as("lon_r"),
+          stareContainsPoint(col("sid"), col("lat"), col("lon")).as("in_trixel"),
+          stareCenterRoundtripOk(col("sid")).as("roundtrip_ok"))
         .orderBy(col("doc_id"))
     }),
     "q21_cover_join" -> ((s, dir) => {
-      StareJoin.pointJoin(indexed(s, dir), "sid", coversDf(s), "sids", how = "inner")
+      // cover join prunes (cover ⊇ box by construction), exact box test
+      // decides — also the right plan at 100 TB
+      val docs = indexed(s, dir)
+      StareJoin.pointJoin(docs, "sid", coversDf(s), "sids", how = "inner")
+        .filter(refineMatched)
         .groupBy(col("region_name")).agg(count(lit(1)).as("pages"))
         .orderBy(col("region_name"))
     }),
     "q22_cover_join_left" -> ((s, dir) => {
-      StareJoin.pointJoin(indexed(s, dir), "sid", coversDf(s), "sids", how = "left")
+      val docs = indexed(s, dir)
+      val joined = StareJoin.pointJoin(docs, "sid", coversDf(s), "sids", how = "left")
+      val refined = joined.filter(col("region_name").isNull || refineMatched)
+      // docs whose every cover match failed the exact test re-enter as
+      // unmatched — exact LEFT JOIN ON box-containment semantics
+      val lost = docs.select(col("doc_id"))
+        .join(refined.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("region_name", lit(null).cast("string"))
+      refined.select(col("doc_id"), col("region_name")).unionByName(lost)
         .groupBy(coalesce(col("region_name"), lit("__none")).as("region_name"))
         .agg(count(lit(1)).as("pages"))
         .orderBy(col("region_name"))
     }),
     "q23_dissolve" -> ((s, dir) => {
-      val docs = indexed(s, dir)
-        .withColumn("sids", array(stareClearTo(col("sid"), 8)))
-      Dissolve(docs, by = "lang", sidsCol = "sids", aggFuncs = Map("doc_id" -> "sum"))
-        .select(col("lang"), size(col("sids")).as("cover_size"), col("doc_id").as("doc_id_sum"))
+      // dissolve_exact: expand(dissolve(cells)) must equal the distinct
+      // cell set — validates union+compression against plain countDistinct
+      val docs = indexed(s, dir).withColumn("sids", array(stareClearTo(col("sid"), 8)))
+      val dis = Dissolve(docs, by = "lang", sidsCol = "sids", aggFuncs = Map("doc_id" -> "sum"))
+        .withColumnRenamed("doc_id", "doc_id_sum")
+      val counts = docs.groupBy(col("lang"))
+        .agg(countDistinct(col("sids")(0)).as("n_cells"), count(lit(1)).as("n_docs"))
+      dis.join(counts, Seq("lang"))
+        .select(col("lang"), col("doc_id_sum"), col("n_docs"),
+          (size(stareExpand(col("sids"), 8)).cast("long") === col("n_cells")).as("dissolve_exact"))
         .orderBy(col("lang"))
     }),
     "q24_speedy_subset" -> ((s, dir) => {
-      val cover = Cover.coverFromPolygon(
-        Array((Array(-10.0, 25.0, 25.0, -10.0, -10.0), Array(36.0, 36.0, 60.0, 60.0, 36.0))), 6, forceCcw = true)
-      SpeedySubset(indexed(s, dir), "sid", cover)
-        .select(col("doc_id"), col("sid")).orderBy(col("doc_id"))
+      val r = region("europe_c")
+      SpeedySubset(indexed(s, dir), "sid", regionCover(r))
+        .filter(inRegion(r))
+        .select(col("doc_id"), round(col("lat"), 4).as("lat_r"), round(col("lon"), 4).as("lon_r"))
+        .orderBy(col("doc_id"))
     }),
     "q25_knn" -> ((s, dir) => {
-      val docs = indexed(s, dir).select(col("doc_id"), col("sid"))
+      // ring-expansion kNN with enough rounds that the final cap covers
+      // the sphere: result provably equals brute force, which is exactly
+      // what the DuckDB oracle computes (cross join + row_number)
+      val docs = indexed(s, dir).select(col("doc_id"), col("sid"), col("lat"), col("lon"))
       val queries = docs.filter(col("doc_id") % 97 === 0)
-      KnnJoin(queries, "sid", docs, "sid", k = 3, initialDiameterDeg = 8.0, coverLevel = 7)
-        .select(col("doc_id"), col("doc_id_nn"), col("nn_rank"))
-        .orderBy(col("doc_id"), col("nn_rank"), col("doc_id_nn"))
+      KnnJoin(queries, "doc_id", "sid", "lat", "lon", docs, "doc_id", "sid", "lat", "lon",
+          k = 3, initialDiameterDeg = 8.0, coverLevel = 7, maxRounds = 7)
+        .select(col("doc_id"), col("doc_id_nn"), col("nn_rank").cast("long").as("nn_rank"))
+        .orderBy(col("doc_id"), col("nn_rank"))
     }),
     "q26_tile_dissolve" -> ((s, dir) => {
-      // raster->vector: dissolve per lang then trixel MultiPolygon WKT
+      // raster->vector: dissolve per lang then trixel MultiPolygon WKT;
+      // wkt_ok validates ring structure (closure, arity, coordinate
+      // ranges, antimeridian split) of every emitted polygon
       val docs = indexed(s, dir).withColumn("sids", array(stareClearTo(col("sid"), 6)))
-      Dissolve(docs, by = "lang", sidsCol = "sids")
-        .select(col("lang"), length(stareTrixelWkt(col("sids"))).as("wkt_len"),
-          size(col("sids")).as("n_trixels"))
+      Dissolve(docs, by = "lang", sidsCol = "sids", aggFuncs = Map("doc_id" -> "count"))
+        .select(col("lang"), col("doc_id").as("n_docs"),
+          wktOk(stareTrixelWkt(col("sids"))).as("wkt_ok"))
         .orderBy(col("lang"))
     }),
     "q27_pods_roundtrip" -> ((s, dir) => {
+      // write -> spatially+temporally pruned read -> exact refine; the
+      // oracle recomputes membership from the raw table, so any pruning
+      // false-negative (or resume bug) shows up as a row diff
       val out = s"/tmp/graft_pods_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-      val docs = indexed(s, dir).select(col("doc_id"), col("url"), col("sid"), col("lang"))
-      Pods.write(docs, out, "sid", podLevel = 3, lineageId = s"verify-$dir")
-      val cover = Cover.coverFromPolygon(
-        Array((Array(-10.0, 25.0, 25.0, -10.0, -10.0), Array(36.0, 36.0, 60.0, 60.0, 36.0))), 6, forceCcw = true)
-      Pods.read(s, out, cover)
-        .filter(stareIntersectsCover(col("sid"), cover))
-        .select(col("doc_id"), col("sid")).orderBy(col("doc_id"))
+      val docs = indexed(s, dir).select(col("doc_id"), col("sid"), col("lat"), col("lon"),
+        col("warc_ts"), col("lang"))
+      Pods.write(docs, out, "sid", podLevel = 3, lineageId = s"verify-r2-$dir",
+        tsCol = Some("warc_ts"), chunkMs = 3600000L)
+      val r = region("europe_c")
+      val t0 = 1700000600L; val t1 = 1700020000L
+      Pods.read(s, out, regionCover(r), timeRangeMs = Some((t0 * 1000, t1 * 1000)))
+        .filter(inRegion(r) && unix_timestamp(col("warc_ts")).between(t0, t1))
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
     "q28_tiv" -> ((s, dir) => {
       Webtext.table(s, dir)
@@ -208,21 +293,79 @@ object SparkEntry {
         .orderBy(col("level"))
     }),
     "q31_pods_catalog" -> ((s, dir) => {
+      // manifest-sum == input-count invariant: a stale snapshot or a
+      // catalog/data divergence makes total_rows diverge from the oracle
       val out = s"/tmp/graft_podcat_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
       val docs = indexed(s, dir).select(col("doc_id"), col("sid"))
-      Pods.write(docs, out, "sid", podLevel = 2, lineageId = s"cat-$dir")
-      Pods.catalog(s, out).orderBy(col("pod"))
+      Pods.write(docs, out, "sid", podLevel = 2, lineageId = s"cat-r2-$dir")
+      Pods.catalog(s, out)
+        .agg(sum(col("rowCount")).as("total_rows"),
+          countDistinct(col("lineageId")).as("n_lineages"))
     }),
     "q32_streaming_index" -> ((s, dir) => {
       // batch replay of the streaming indexer over the webtext table
       graft.streaming.StreamingIndex.indexStream(
           Webtext.table(s, dir).drop("doc_id"))
-        .groupBy(col("pod")).agg(count(lit(1)).as("pages"))
-        .orderBy(col("pod"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("pages"), max(stareLevel(col("sid"))).as("max_level"))
+        .orderBy(col("lang"))
     })
   )
 
-  /** DuckDB-runnable oracles (same parquet inputs, same column names). */
+  /** structural WKT validation: MULTIPOLYGON of closed 4-point rings
+    * with in-range coordinates (exercises to_trixels + antimeridian
+    * splitting; mirrored by a constant `true` in the oracle). */
+  private val wktOk = udf((wkt: String) =>
+    wkt != null && wkt.startsWith("MULTIPOLYGON (") && {
+      val rings = "\\(\\(([^()]*)\\)\\)".r.findAllMatchIn(wkt).map(_.group(1)).toArray
+      rings.nonEmpty && rings.forall { r =>
+        val pts = r.split(",").map(_.trim.split("\\s+").map(_.toDouble))
+        pts.length >= 4 && pts.head.sameElements(pts.last) &&
+          pts.forall(p => p.length == 2 && p(0) >= -180 && p(0) <= 180 && p(1) >= -90 && p(1) <= 90)
+      }
+    })
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles (same parquet inputs, same column names)
+  // ------------------------------------------------------------------
+
+  /** FNV-1a over the characters of an (ASCII) string expression, exact
+    * mod-2^64 arithmetic in HUGEINT — the SQL mirror of the Scala
+    * wrapping-multiply hash kernels. */
+  private def fnvSql(strExpr: String): String =
+    s"list_reduce(list_prepend(1469598103934665603::HUGEINT, " +
+      s"list_transform(string_split($strExpr, ''), c -> ord(c)::HUGEINT)), " +
+      s"(h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616::HUGEINT)"
+
+  /** unsigned HUGEINT in [0, 2^64) -> the signed 64-bit value with the
+    * same bit pattern. */
+  private def toSignedSql(e: String): String =
+    s"CASE WHEN $e >= 9223372036854775808::HUGEINT " +
+      s"THEN (($e) - 18446744073709551616::HUGEINT)::BIGINT ELSE ($e)::BIGINT END"
+
+  /** boxes relation literal, shared with the Spark-side regions. */
+  private def boxesSql: String =
+    "(SELECT * FROM (VALUES " + regions.map(r =>
+      s"('${r.name}', ${r.lonMin}, ${r.lonMax}, ${r.latMin}, ${r.latMax}, ${r.wraps})")
+      .mkString(", ") +
+      ") AS t(region_name, lon_min, lon_max, lat_min, lat_max, wraps))"
+
+  private val boxPredSql: String =
+    "lat >= lat_min AND lat <= lat_max AND " +
+      "((wraps AND (lon >= lon_min OR lon <= lon_max)) OR " +
+      "(NOT wraps AND lon >= lon_min AND lon <= lon_max))"
+
+  /** exact containment for one region, literals inlined. */
+  private def regionPredSql(r: Region): String = {
+    val lonPred =
+      if (r.wraps) s"(lon >= ${r.lonMin} OR lon <= ${r.lonMax})"
+      else s"(lon >= ${r.lonMin} AND lon <= ${r.lonMax})"
+    s"lat >= ${r.latMin} AND lat <= ${r.latMax} AND $lonPred"
+  }
+
+  private def ptsSql: String =
+    s"(SELECT doc_id, ${Webtext.latExpr} AS lat, ${Webtext.lonExpr} AS lon FROM documents)"
+
   def oracleSql: Map[String, String] = {
     val lat = Webtext.latExpr
     val lon = Webtext.lonExpr
@@ -286,6 +429,37 @@ object SparkEntry {
       "q14_geotag" ->
         s"""SELECT doc_id, round($lat, 4) AS lat, round($lon, 4) AS lon
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "q15_minhash_dups" ->
+        """WITH d AS (
+          | SELECT doc_id, list_distinct(list_transform(
+          |   range(1, greatest(len(words) - 2, 0) + 1),
+          |   i -> array_to_string(words[i:i+2], ' '))) AS sh
+          | FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+          |       FROM documents)),
+          |e AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
+          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+          |             any_value(a.n) AS na, any_value(b.n) AS nb
+          |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+          |FROM p WHERE inter / (na + nb - inter) >= 0.5 ORDER BY 1, 2""".stripMargin,
+      "q16_simhash" -> {
+        val fnvWord = fnvSql("word")
+        s"""WITH w AS (
+           | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |   x -> x <> '')) AS word
+           | FROM documents),
+           |h AS (SELECT doc_id, $fnvWord AS hw FROM w),
+           |v AS (SELECT doc_id, bit,
+           |        sum(CASE WHEN (hw // (1::HUGEINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+           |      FROM (SELECT doc_id, hw, unnest(range(0, 64)) AS bit FROM h) GROUP BY 1, 2),
+           |s AS (SELECT doc_id,
+           |        coalesce(sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit)
+           |                          ELSE 0::HUGEINT END), 0::HUGEINT) AS shu
+           |      FROM v GROUP BY 1)
+           |SELECT d.doc_id, coalesce(${toSignedSql("s.shu")}, 0) AS simhash
+           |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
       "q17_ann_topk" -> {
         // query vector = float32-truncated sines, then cosine in DOUBLE
         // on both engines (DuckDB computes FLOAT[] cosines in float32,
@@ -295,7 +469,125 @@ object SparkEntry {
         s"""SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], $qvec), 4) AS cos_sim_r
            |FROM embeddings
            |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvec) DESC, vec_id LIMIT 20""".stripMargin
-      }
+      },
+      "q18_near_dup_pairs" ->
+        """WITH aug AS (
+          | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          | UNION ALL
+          | SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 0.5)
+          | FROM embeddings)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim_r
+          |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+          |ORDER BY 1, 2""".stripMargin,
+      "q19_fingerprint" ->
+        s"""SELECT doc_id,
+           | CASE WHEN text IS NULL OR length(text) = 0 THEN 1469598103934665603::BIGINT
+           |      ELSE ${toSignedSql(fnvSql("text"))} END AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q20_stare_index" ->
+        s"""SELECT doc_id, 26::BIGINT AS level, round(lat, 4) AS lat_r, round(lon, 4) AS lon_r,
+           | true AS in_trixel, true AS roundtrip_ok
+           |FROM $ptsSql ORDER BY doc_id""".stripMargin,
+      "q21_cover_join" ->
+        s"""SELECT region_name, count(*) AS pages
+           |FROM $ptsSql JOIN $boxesSql ON $boxPredSql
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q22_cover_join_left" ->
+        s"""SELECT coalesce(region_name, '__none') AS region_name, count(*) AS pages
+           |FROM $ptsSql LEFT JOIN $boxesSql ON $boxPredSql
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q23_dissolve" ->
+        """SELECT lang, sum(doc_id) AS doc_id_sum, count(*) AS n_docs, true AS dissolve_exact
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q24_speedy_subset" ->
+        s"""SELECT doc_id, round(lat, 4) AS lat_r, round(lon, 4) AS lon_r
+           |FROM $ptsSql WHERE ${regionPredSql(region("europe_c"))}
+           |ORDER BY doc_id""".stripMargin,
+      "q25_knn" ->
+        s"""WITH pts AS (SELECT * FROM $ptsSql),
+           |q AS (SELECT * FROM pts WHERE doc_id % 97 = 0),
+           |d AS (SELECT q.doc_id AS doc_id, p.doc_id AS doc_id_nn,
+           |       2 * asin(least(1.0, sqrt(
+           |         power(sin((radians(p.lat) - radians(q.lat)) / 2), 2)
+           |         + cos(radians(q.lat)) * cos(radians(p.lat))
+           |           * power(sin(radians(p.lon - q.lon) / 2), 2)))) AS dist
+           |      FROM q CROSS JOIN pts p)
+           |SELECT doc_id, doc_id_nn, nn_rank FROM (
+           | SELECT doc_id, doc_id_nn,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY dist, doc_id_nn) AS nn_rank
+           | FROM d) WHERE nn_rank <= 3
+           |ORDER BY doc_id, nn_rank""".stripMargin,
+      "q26_tile_dissolve" ->
+        """SELECT lang, count(doc_id) AS n_docs, true AS wkt_ok
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q27_pods_roundtrip" ->
+        s"""SELECT doc_id FROM $ptsSql
+           |WHERE ${regionPredSql(region("europe_c"))}
+           |  AND (1700000000 + doc_id * 61 % 31536000) BETWEEN 1700000600 AND 1700020000
+           |ORDER BY doc_id""".stripMargin,
+      "q28_tiv" ->
+        """WITH t AS (
+          | SELECT doc_id, (1700000000 + doc_id * 61 % 31536000) AS utc FROM documents),
+          |t2 AS (
+          | SELECT doc_id, utc + (CASE WHEN utc >= 1483228800 THEN 37
+          |                            WHEN utc >= 1435708800 THEN 36
+          |                            WHEN utc >= 1341100800 THEN 35 ELSE 34 END) AS tai FROM t),
+          |f AS (SELECT doc_id, tai // 86400 AS days, tai % 86400 AS sod FROM t2),
+          |c1 AS (SELECT doc_id, sod, (days + 719468) // 146097 AS era,
+          |              (days + 719468) % 146097 AS doe FROM f),
+          |c2 AS (SELECT *, (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365 AS yoe FROM c1),
+          |c3 AS (SELECT *, era * 400 + yoe AS y,
+          |              doe - (365 * yoe + yoe // 4 - yoe // 100) AS doym FROM c2),
+          |c4 AS (SELECT *, (5 * doym + 2) // 153 AS mp FROM c3),
+          |c5 AS (SELECT *, doym - (153 * mp + 2) // 5 + 1 AS d,
+          |              CASE WHEN mp < 10 THEN mp + 3 ELSE mp - 9 END AS m FROM c4),
+          |c6 AS (SELECT *, CASE WHEN m <= 2 THEN y + 1 ELSE y END AS yr FROM c5),
+          |c7 AS (SELECT doc_id, sod, yr,
+          |        (CASE m WHEN 1 THEN 0 WHEN 2 THEN 31 WHEN 3 THEN 59 WHEN 4 THEN 90
+          |                WHEN 5 THEN 120 WHEN 6 THEN 151 WHEN 7 THEN 181 WHEN 8 THEN 212
+          |                WHEN 9 THEN 243 WHEN 10 THEN 273 WHEN 11 THEN 304 ELSE 334 END)
+          |        + d + (CASE WHEN ((yr % 4 = 0 AND yr % 100 <> 0) OR yr % 400 = 0) AND m > 2
+          |                    THEN 1 ELSE 0 END) AS doy
+          |       FROM c6)
+          |SELECT doc_id,
+          |  yr * 1125899906842624
+          |  + ((doy - 1) // 28) * 70368744177664
+          |  + (((doy - 1) % 28) // 7) * 17592186044416
+          |  + ((doy - 1) % 7) * 2199023255552
+          |  + (sod // 3600) * 68719476736
+          |  + ((sod % 3600) // 60) * 1073741824
+          |  + (sod % 60) * 16777216
+          |  + 12481 AS tiv
+          |FROM c7 ORDER BY doc_id""".stripMargin,
+      "q29_multimodal_features" -> {
+        val html = "'<html><body>' || text || '</body></html>'"
+        val hu = fnvSql(html)
+        s"""WITH h AS (
+           | SELECT 'https://crawl.example/' || lang || '/' || source || '/' || doc_id AS url,
+           |        length(text) + 26 AS byte_len, $hu AS hu
+           | FROM documents),
+           |s AS (SELECT url, byte_len, hu,
+           |        CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |             THEN 18446744073709551616::HUGEINT - hu ELSE hu END AS habs,
+           |        CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |             THEN hu // 1024 - 18014398509481984::HUGEINT ELSE hu // 1024 END AS h10
+           |      FROM h)
+           |SELECT url, byte_len,
+           |  (64 + habs % 1024)::INTEGER AS width,
+           |  (64 + (CASE WHEN h10 < 0::HUGEINT THEN -h10 ELSE h10 END) % 1024)::INTEGER AS height
+           |FROM s ORDER BY url""".stripMargin
+      },
+      "q30_adaptive_index" ->
+        """SELECT least(greatest(CAST(ceil(log2(90.0 / ((doc_id % 20 + 1) / 4.0))) AS BIGINT), 0), 27)
+          |  AS level, count(*) AS n
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q31_pods_catalog" ->
+        """SELECT count(*) AS total_rows, 1::BIGINT AS n_lineages FROM documents""".stripMargin,
+      "q32_streaming_index" ->
+        """SELECT lang, count(*) AS pages, 26::BIGINT AS max_level
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

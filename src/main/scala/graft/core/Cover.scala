@@ -188,6 +188,35 @@ object Cover {
     cover(new RingRegion(new Ring(pts)), level)
   }
 
+  /** Cover of a lat/lon-aligned box, inflated by `marginDeg` and with
+    * edges densified every `stepDeg`, so the polygon's great-circle
+    * edges track the box's constant-latitude edges: guarantees
+    * cover ⊇ box (the exact-refine join plan: the STARE cover prunes,
+    * the exact box predicate decides — no false negatives possible).
+    * The box must not cross the antimeridian (split it first); latitudes
+    * are clamped away from the poles after inflation. */
+  def coverFromBox(lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+                   level: Int, marginDeg: Double = 2.0, stepDeg: Double = 4.0): Array[Long] = {
+    val lo0 = lonMin - marginDeg; val lo1 = lonMax + marginDeg
+    val la0 = math.max(-89.5, latMin - marginDeg); val la1 = math.min(89.5, latMax + marginDeg)
+    val lons = new ArrayBuffer[Double](); val lats = new ArrayBuffer[Double]()
+    def seg(fromLon: Double, toLon: Double, fromLat: Double, toLat: Double): Unit = {
+      val span = math.max(math.abs(toLon - fromLon), math.abs(toLat - fromLat))
+      val n = math.max(1, math.ceil(span / stepDeg).toInt)
+      var i = 0
+      while (i < n) {
+        lons += fromLon + (toLon - fromLon) * i / n
+        lats += fromLat + (toLat - fromLat) * i / n
+        i += 1
+      }
+    }
+    // ccw ring: south edge W->E, east S->N, north E->W, west N->S
+    seg(lo0, lo1, la0, la0); seg(lo1, lo1, la0, la1)
+    seg(lo1, lo0, la1, la1); seg(lo0, lo0, la1, la0)
+    lons += lo0; lats += la0
+    coverFromPolygon(Array((lons.toArray, lats.toArray)), level, forceCcw = true)
+  }
+
   /** Circular cover: level-L trixels intersecting the cap of the given
     * diameter (degrees) centered on the sid's trixel center. Mirrors
     * pystare.sid2circular_cover (spatial_conversions.py:508-554). */

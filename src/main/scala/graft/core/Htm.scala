@@ -207,6 +207,18 @@ object Htm {
     (v._3, v._4)
   }
 
+  /** Point-in-trixel test via the gring half-space constraints — an
+    * INDEPENDENT geometry path from the encode descent (used as a
+    * cross-check invariant: encode(p) must yield a trixel containing p).
+    * `tol` absorbs fp noise for points on a trixel edge. */
+  def sidContainsPoint(sid: Long, lat: Double, lon: Double, tol: Double = 1e-12): Boolean = {
+    val p = latLonToXyz(lat, lon)
+    val t = sidToTriangle(sid)
+    dot(cross(t(0), t(1)), p) >= -tol &&
+      dot(cross(t(1), t(2)), p) >= -tol &&
+      dot(cross(t(2), t(0)), p) >= -tol
+  }
+
   /** 3 great-circle normal vectors constraining the trixel (gring):
     * cross products of consecutive corners (trixel_conversions.py:253-268). */
   def sidToGring(sid: Long): Array[Array[Double]] = {

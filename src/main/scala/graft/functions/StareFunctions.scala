@@ -109,6 +109,26 @@ object StareFunctions {
   def stareSidAdaptive(lat: Column, lon: Column, neighborDistDeg: Column): Column =
     adaptiveSidUdf(lat, lon, neighborDistDeg)
 
+  private val containsPointUdf = udf((sid: Long, lat: Double, lon: Double) =>
+    Htm.sidContainsPoint(sid, lat, lon))
+
+  /** does the sid's trixel contain the lat/lon point? Cross-validates
+    * the encode descent through the independent gring half-space path. */
+  def stareContainsPoint(sid: Column, lat: Column, lon: Column): Column =
+    containsPointUdf(sid, lat, lon)
+
+  private val reencodeOkUdf = udf((sid: Long) => {
+    val (la, lo) = Htm.sidToCenter(sid)
+    // compare at the sid's own level: encode keeps full-depth location
+    // bits below the stamped level (pystare-compatible), which differ
+    // between the original point and the trixel center
+    Sid.clearToLevel(Htm.latLonToSid(la, lo, Sid.level(sid))) == Sid.clearToLevel(sid)
+  })
+
+  /** decode-center -> re-encode roundtrip invariant (center is strictly
+    * interior, so this must hold for every valid sid). */
+  def stareCenterRoundtripOk(sid: Column): Column = reencodeOkUdf(sid)
+
   private val gringUdf = udf((sid: Long) => Htm.sidToGring(sid).map(_.toSeq))
   /** 3 great-circle normals constraining the trixel. */
   def stareGring(sid: Column): Column = gringUdf(sid)

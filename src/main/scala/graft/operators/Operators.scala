@@ -20,6 +20,7 @@ object Dissolve {
           case "first" => first(col(c))
           case "sum"   => sum(col(c))
           case "mean"  => avg(col(c))
+          case "count" => count(col(c))
           case other   => throw new IllegalArgumentException(s"aggfunc $other")
         }).as(c)
       }
@@ -56,97 +57,120 @@ object ToArray {
 }
 
 /** kNN via STARE cell-ring expansion: candidate pairs from a circular
-  * cover around each query, exact great-circle distance, per-query top-k.
-  * The reference only ships the circular-cover primitive
-  * (spatial_conversions.py:508-554, make_circular_sids); ring-expansion
-  * kNN semantics are ours (documented: grow the cap by doubling until
-  * every query has >= k candidates, bounded rounds). */
+  * cover around each query, exact great-circle distance on the ORIGINAL
+  * lat/lon coordinates, per-query top-k. The reference only ships the
+  * circular-cover primitive (spatial_conversions.py:508-554,
+  * make_circular_sids); ring-expansion kNN semantics are ours
+  * (documented: grow the cap by doubling until each query's k-th
+  * neighbor is provably inside the cap, bounded rounds).
+  *
+  * Scale shape: the right side is prefix-keyed ONCE at the small fixed
+  * set of levels the rounds can probe (|rounds| keys per row, computed
+  * and cached a single time), each round's cap cover is expanded to a
+  * SINGLE level so every cover cell is exactly one equi-join key, and
+  * only still-incomplete queries advance to the next (wider) round. All
+  * intermediate caches are released before returning.
+  */
 object KnnJoin {
 
-  private val distUdf = udf((sid1: Long, sid2: Long) => {
-    val (la1, lo1) = Htm.sidToCenter(sid1)
-    val (la2, lo2) = Htm.sidToCenter(sid2)
-    haversineDeg(la1, lo1, la2, lo2)
-  })
-
-  def haversineDeg(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
-    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
-    val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
-    val a = math.sin(dp / 2) * math.sin(dp / 2) +
-      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
-    2 * math.asin(math.min(1.0, math.sqrt(a))) // radians on unit sphere
+  /** codegen great-circle distance (radians) between two lat/lon pairs
+    * in degrees — built-in trig functions only, no UDF. */
+  def haversineRad(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val p1 = radians(lat1); val p2 = radians(lat2)
+    val a = pow(sin((p2 - p1) / 2), 2) + cos(p1) * cos(p2) * pow(sin(radians(lon2 - lon1) / 2), 2)
+    lit(2.0) * asin(least(lit(1.0), sqrt(a)))
   }
 
-  /** For each left row (scalar sid, id column) find k nearest right rows
-    * (scalar sid). Both frames keep their payload columns; output =
-    * left columns + right columns (suffixed `_nn`) + `dist_rad` + `nn_rank`.
+  /** For each left row find the k nearest right rows. `leftId` MUST be
+    * unique per left row (it keys the per-query ranking; duplicate ids
+    * would pool their candidate sets). Output = left columns + right
+    * columns (suffixed `_nn`) + `dist_rad` + `nn_rank`, ranked by
+    * (distance, right id) for determinism.
     *
-    * maxRounds caps the doubling; queries still short of k neighbors
-    * after the last round return what was found (documented divergence
-    * from an exact-but-unbounded search). */
-  def apply(left: DataFrame, leftSid: String, right: DataFrame, rightSid: String,
+    * Exactness: a query completes in a round only when its k-th
+    * candidate is strictly inside that round's cap (minus a small
+    * margin for the cap being centered on the query TRIXEL center);
+    * with enough rounds that the final cap reaches radius >= 180° the
+    * result equals the brute-force kNN. Queries still short of k
+    * neighbors after maxRounds return what was found. */
+  def apply(left: DataFrame, leftId: String, leftSid: String, leftLat: String, leftLon: String,
+            right: DataFrame, rightId: String, rightSid: String, rightLat: String, rightLon: String,
             k: Int, initialDiameterDeg: Double = 1.0, coverLevel: Int = 9,
             maxRounds: Int = 4): DataFrame = {
 
     val rightKeyed = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, c + "_nn"))
-    val rSid = rightSid + "_nn"
+    val rSid = rightSid + "_nn"; val rId = rightId + "_nn"
+    val rLat = rightLat + "_nn"; val rLon = rightLon + "_nn"
 
-    // per-round frames are persisted: the rounds are defined recursively
-    // (remaining_r depends on complete_{r-1}), so without persistence the
-    // final union re-executes every earlier round's candidate join.
+    // ring levels across ALL rounds — the right side is keyed once
+    val levels = (0 until maxRounds).map(r => math.max(2, coverLevel - r)).distinct.sorted.toArray
+    val rightKeys = rightKeyed.withColumn("__rk", explode(
+      filter(array(levels.map(l => when(stareLevel(col(rSid)) >= l, stareClearTo(col(rSid), l))): _*),
+        c => c.isNotNull))).persist()
+
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](rightKeys)
     var remaining = left.persist()
+    persisted += remaining
     var remainingCount = remaining.count()
-    var results: Option[DataFrame] = None
+    var results: List[DataFrame] = Nil
     var diameter = initialDiameterDeg
     var round = 0
+    val distCol = haversineRad(col(leftLat), col(leftLon), col(rLat), col(rLon))
     while (round < maxRounds && remainingCount > 0) {
       // keep the per-query cover at ~constant cell count: each doubling
-      // of the cap diameter drops the cover level by one
+      // of the cap diameter drops the cover level by one. The cap is
+      // clamped to the full sphere, so late rounds degrade gracefully
+      // into an exact brute-force pass for the few stragglers.
       val lvl = math.max(2, coverLevel - round)
-      val candidates = candidateJoin(remaining, leftSid, rightKeyed, rSid, diameter, lvl)
-        .withColumn("dist_rad", distUdf(col(leftSid), col(rSid)))
-        // only trust neighbors provably inside the search cap: k-th
-        // neighbor must be closer than the cap radius, else regrow
+      val capDeg = math.min(diameter, 360.0)
+      val cov = StareFunctions.stareExpand(
+        StareFunctions.stareCircularCover(col(leftSid), lit(capDeg), lvl), lvl)
+      val candidates = remaining.withColumn("__lk", explode(cov))
+        .join(rightKeys, col("__lk") === col("__rk")).drop("__lk", "__rk")
+        .withColumn("dist_rad", distCol)
         .withColumn("nn_rank", row_number().over(
-          Window.partitionBy(col(leftSid)).orderBy(col("dist_rad"))))
+          Window.partitionBy(col(leftId)).orderBy(col("dist_rad"), col(rId))))
         .filter(col("nn_rank") <= k)
-      val capRad = math.toRadians(diameter / 2)
+      // only trust neighbors provably inside the search cap: margin
+      // covers the cap being centered on the trixel center (<=2e-8 rad
+      // at level 26) rather than the exact query point
+      val capRad = math.toRadians(math.min(capDeg, 360.0) / 2) - 1e-6
       val isLast = round == maxRounds - 1
       val complete = (
         if (isLast) candidates
+        else if (capRad >= math.Pi) candidates // whole sphere: nothing beyond it
         else candidates.withColumn("__kth", max(when(col("nn_rank") === k, col("dist_rad")))
-            .over(Window.partitionBy(col(leftSid))))
+            .over(Window.partitionBy(col(leftId))))
           .filter(col("__kth").isNotNull && col("__kth") < capRad)
           .drop("__kth")
         ).persist()
-      results = Some(results.map(_.unionByName(complete)).getOrElse(complete))
-      if (!isLast) {
-        val done = complete.select(col(leftSid)).distinct()
-        val next = remaining.join(done, Seq(leftSid), "left_anti").persist()
+      persisted += complete
+      results = complete :: results
+      if (!isLast && capRad < math.Pi) {
+        val done = complete.select(col(leftId)).distinct()
+        val next = remaining.join(done, Seq(leftId), "left_anti").persist()
+        persisted += next
         remainingCount = next.count()
         remaining = next
-      }
+      } else remainingCount = 0
       diameter *= 2
       round += 1
     }
-    results.get
-  }
-
-  private def candidateJoin(left: DataFrame, leftSid: String, right: DataFrame, rSid: String,
-                            diameterDeg: Double, coverLevel: Int): DataFrame = {
-    val withCover = left.withColumn("__cov",
-      StareFunctions.stareCircularCover(col(leftSid), lit(diameterDeg), coverLevel))
-    val exploded = withCover.withColumn("__cs", explode(col("__cov"))).drop("__cov")
-    // prefix keys of right points at the cover levels (boundary at
-    // coverLevel, interior coarser)
-    val levels = (0 to coverLevel).toArray
-    val rightKeys = right.withColumn("__rk", explode(
-      filter(array(levels.map(l => when(stareLevel(col(rSid)) >= l, stareClearTo(col(rSid), l))): _*),
-        c => c.isNotNull)))
-    // no dedup needed: a multi-res cover's trixels are disjoint, so each
-    // right point matches at most one cover sid per query
-    exploded.withColumn("__lk", stareClearToOwn(col("__cs")))
-      .join(rightKeys, col("__lk") === col("__rk"))
-      .drop("__cs", "__lk", "__rk")
+    val out = results match {
+      case Nil => // empty left input: return an empty, correctly-shaped frame
+        remaining.withColumn("__lk", lit(0L))
+          .join(rightKeys, col("__lk") === col("__rk")).drop("__lk", "__rk")
+          .withColumn("dist_rad", lit(0.0)).withColumn("nn_rank", lit(1))
+          .filter(lit(false))
+      case rs => rs.reduce(_ unionByName _)
+    }
+    // materialize once, then release every intermediate cache: without
+    // this, consuming the returned plan would re-execute each round's
+    // candidate join through the chained anti-joins (and the persisted
+    // frames would pressure the executor cache across queries).
+    val result = out.persist()
+    result.count()
+    persisted.foreach(_.unpersist(false))
+    result
   }
 }

@@ -49,32 +49,58 @@ object AnnOps {
     (m % 2001L).toDouble / 1000.0 // symmetric around 0; magnitude irrelevant for sign tests
   }
 
-  /** sign-bit signature of a vector against `planes` hyperplanes. */
-  private val sigUdf = udf((v: Seq[Float], planes: Int) => {
+  /** sign-bit signature of a vector against `planes` hyperplanes
+    * starting at global plane index `offset`. */
+  private val sigUdf = udf((v: Seq[Float], planes: Int, offset: Int) => {
     var out = 0L
     var p = 0
     while (p < planes) {
       var proj = 0.0
       var i = 0
-      while (i < v.length) { proj += v(i).toDouble * planeComponent(p, i); i += 1 }
+      while (i < v.length) { proj += v(i).toDouble * planeComponent(offset + p, i); i += 1 }
       if (proj >= 0) out |= (1L << p)
       p += 1
     }
     out
   })
 
-  def lshSignature(vec: Column, planes: Int): Column = sigUdf(vec, lit(planes))
+  def lshSignature(vec: Column, planes: Int, offset: Int = 0): Column =
+    sigUdf(vec, lit(planes), lit(offset))
 
-  /** All-pairs near-duplicate candidates by embedding: bucket join on the
-    * LSH signature (exact-sign match), then exact cosine filter. */
+  /** All-pairs near-duplicate candidates by embedding: BANDED multi-table
+    * sign-LSH (the MinHash banding shape) — `bands` independent
+    * signatures of `planesPerBand` hyperplanes each, bucket equi-join on
+    * (band, signature), pair dedup, exact cosine re-rank/filter.
+    *
+    * Recall: a pair at angle θ collides in one band with prob
+    * (1-θ/π)^planesPerBand and is missed overall with prob
+    * (1-(1-θ/π)^r)^bands — with r=4, b=16 that is ~4e-13 at cos=0.99,
+    * so above a high `minCosine` the refined output is exact in
+    * practice. A positive-scalar copy of a vector has the IDENTICAL
+    * signature (signs are scale-invariant), so exact near-dups are
+    * found with probability 1.
+    *
+    * `maxBucket` caps degenerate buckets (e.g. all-zero embeddings):
+    * over-cap buckets are dropped and counted to stderr, bounding the
+    * per-bucket O(n²) at any corpus size. */
   def nearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
-                   planes: Int = 12, minCosine: Double = 0.95): DataFrame = {
-    val sig = emb.select(col(idCol), col(vecCol))
-      .withColumn("__sig", lshSignature(col(vecCol), planes))
-    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__sig"))
-    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__sig"))
-    a.join(b, Seq("__sig"))
+                   bands: Int = 16, planesPerBand: Int = 4, minCosine: Double = 0.95,
+                   maxBucket: Long = 100000L): DataFrame = {
+    val banded0 = emb.select(col(idCol), col(vecCol),
+      posexplode(array((0 until bands).map(b =>
+        lshSignature(col(vecCol), planesPerBand, b * planesPerBand)): _*))
+        .as(Seq("__band", "__sig")))
+    val sized = banded0.withColumn("__bn",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__band"), col("__sig"))))
+    val nDropped = sized.filter(col("__bn") > maxBucket).count()
+    if (nDropped > 0) System.err.println(
+      s"[nearDupPairs] dropped $nDropped rows in over-cap buckets (cap=$maxBucket)")
+    val banded = sized.filter(col("__bn") <= maxBucket).drop("__bn")
+    val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__band"), col("__sig"))
+    val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__band"), col("__sig"))
+    a.join(b, Seq("__band", "__sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
       .withColumn("cos_sim", cosineUdf(col("vec_a"), col("vec_b")))
       .filter(col("cos_sim") >= minCosine)
       .select("id_a", "id_b", "cos_sim")

@@ -27,14 +27,24 @@ object TextOps {
 
   // ----------------------------------------------------------- shingles & hashes
 
-  /** word k-shingles of the lowercased text. */
+  /** word k-shingles of the trimmed, lowercased text. */
   def shingles(text: Column, k: Int = 3): Column = {
-    val words = split(lower(text), "\\s+")
+    val words = split(trim(lower(text)), "\\s+")
     // array of space-joined k-grams; empty when fewer than k words
     filter(
       transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
         i => when(i + k <= size(words), concat_ws(" ", slice(words, i + 1, lit(k))))),
       c => c.isNotNull)
+  }
+
+  /** exact word-k-shingle Jaccard between two text columns — the refine
+    * step after LSH candidate generation (and the quantity MinHash
+    * estimates). Mirrored 1:1 by the DuckDB oracle SQL. */
+  def shingleJaccard(a: Column, b: Column, k: Int = 3): Column = {
+    val ga = array_distinct(shingles(a, k)); val gb = array_distinct(shingles(b, k))
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    val uni = size(array_union(ga, gb)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
   /** deterministic 64-bit-ish hash of a string column (xxhash64). */
@@ -80,16 +90,34 @@ object TextOps {
   })
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
-    * (band index, band hash), dedup pairs. bands*rowsPerBand = perms. */
-  def minhashCandidates(docs: DataFrame, k: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame = {
+    * (band index, band hash), dedup pairs. bands*rowsPerBand = perms.
+    *
+    * With 16 bands of 2 rows, a pair at Jaccard J is missed with
+    * probability (1-J²)^16 — ~5e-8 at J=0.8, ~4e-17 at J=0.95 — so
+    * downstream of an exact-Jaccard refine the result is the exact
+    * pair set for any threshold >= ~0.8.
+    *
+    * `maxBucket` guards the self-join against degenerate buckets
+    * (boilerplate/empty texts share band hashes): buckets above the cap
+    * are dropped and counted to stderr — the O(bucket²) blowup is
+    * bounded by cap² per bucket at any corpus size. */
+  def minhashCandidates(docs: DataFrame, k: Int = 3, perms: Int = 32, bands: Int = 16,
+                        maxBucket: Long = 100000L): DataFrame = {
     val rowsPerBand = perms / bands
     val sig = docs.select(col("doc_id"), minhashSignature(col("text"), k, perms).as("sig"))
     val banded = sig.select(col("doc_id"), posexplode(
       array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
       .as(Seq("band", "bandhash")))
-    val a = banded.withColumnRenamed("doc_id", "doc_a")
-    val b = banded.withColumnRenamed("doc_id", "doc_b")
+    val sized = banded.withColumn("__bn",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bandhash"))))
+    val dropped = sized.filter(col("__bn") > maxBucket)
+    val keptBanded = sized.filter(col("__bn") <= maxBucket).drop("__bn")
+    val nDropped = dropped.count()
+    if (nDropped > 0) System.err.println(
+      s"[minhashCandidates] dropped $nDropped rows in over-cap buckets (cap=$maxBucket)")
+    val a = keptBanded.withColumnRenamed("doc_id", "doc_a")
+    val b = keptBanded.withColumnRenamed("doc_id", "doc_b")
     a.join(b, Seq("band", "bandhash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()

@@ -187,7 +187,8 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pts = Seq((1L, 10.0, 10.0), (2L, 10.5, 10.5), (3L, 50.0, 50.0), (4L, 10.1, 10.1))
       .toDF("id", "lat", "lon")
       .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
-    val out = KnnJoin(pts, "sid", pts, "sid", k = 2, initialDiameterDeg = 4.0, coverLevel = 7)
+    val out = KnnJoin(pts, "id", "sid", "lat", "lon", pts, "id", "sid", "lat", "lon",
+      k = 2, initialDiameterDeg = 4.0, coverLevel = 7)
     val nn1 = out.filter(col("nn_rank") === 1).select(col("id"), col("id_nn"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(nn1 === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
