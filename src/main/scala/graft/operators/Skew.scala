@@ -22,16 +22,24 @@ object Skew {
   /** Estimate per-cell point counts from a sample of the left side and
     * split cells whose projected population exceeds `maxRowsPerCell`
     * (descending one level quarters the expected population; recurse
-    * up to `maxExtraLevels`). Returns the rewritten cover column data. */
+    * up to `maxExtraLevels`). Returns the rewritten cover column data.
+    *
+    * Split depth is capped at the EXACT minimum left-side sid level
+    * (one narrow aggregation): a left sid coarser than a split cell
+    * would derive no key at the cell's level and silently lose its
+    * match — the cap keeps the rewrite bit-identical for any input. */
   def splitHotCells(left: DataFrame, leftSid: String,
                     right: DataFrame, rightSids: String,
                     maxRowsPerCell: Long, sampleFraction: Double = 0.01,
                     maxExtraLevels: Int = 4): DataFrame = {
-    val spark = left.sparkSession
     // per-cell sample counts (cells normalized at own level)
     val cells = right.select(explode(stareCompress(col(rightSids))).as("c"))
       .select(stareClearToOwn(col("c")).as("c")).distinct().collect().map(_.getLong(0))
     val levels = cells.map(Sid.level).distinct.sorted
+    val minLeftLevel = left.agg(min(stareLevel(col(leftSid)))).collect()(0) match {
+      case r if r.isNullAt(0) => Sid.MaxLevel // empty left: cap is irrelevant
+      case r                  => r.getLong(0).toInt
+    }
     val sample = left.sample(withReplacement = false, sampleFraction, seed = 42)
       .select(col(leftSid).as("s"))
     val keyed = sample.withColumn("k", explode(filter(
@@ -45,7 +53,8 @@ object Skew {
 
     // recursively split hot cells (driver-side: covers are small by design)
     def split(cell: Long, estRows: Double, extra: Int): Seq[Long] = {
-      if (estRows <= maxRowsPerCell || extra >= maxExtraLevels || Sid.level(cell) >= Sid.MaxLevel) Seq(cell)
+      if (estRows <= maxRowsPerCell || extra >= maxExtraLevels ||
+        Sid.level(cell) >= math.min(minLeftLevel, Sid.MaxLevel)) Seq(cell)
       else {
         val l = Sid.level(cell)
         val lo = Sid.intervalLo(cell)
@@ -66,25 +75,45 @@ object Skew {
   /** Shuffle-path spatial join for cover sides too large to broadcast:
     * sort-merge/shuffled-hash equi-join on the prefix keys with AQE skew
     * splitting enabled, optionally after exact hot-cell splitting.
-    * Same pair semantics as StareJoin.pointJoin(how='inner'). */
+    * Same pair semantics and output contract (suffixes, `key_right`,
+    * column order) as StareJoin.pointJoin, for how = inner | left.
+    *
+    * Row ids come from deterministic zipWithIndex (StareJoin.withStableId)
+    * instead of persist + monotonically_increasing_id: nothing stays
+    * cached after the query completes. */
   def shuffleJoin(left: DataFrame, leftSid: String, right: DataFrame, rightSids: String,
-                  splitHot: Option[Long] = None): DataFrame = {
-    val r0 = splitHot.map(t => splitHotCells(left, leftSid, right, rightSids, t)).getOrElse(right)
-    val rightRows = r0.withColumn("key_right", monotonically_increasing_id()).persist()
-    val rightKeyed = rightRows
+                  splitHot: Option[Long] = None, how: String = "inner"): DataFrame = {
+    // ids first, split-rewrite second: the assembled output carries the
+    // ORIGINAL cover rows; only the join-key derivation sees split cells
+    val rightRows = StareJoin.withStableId(right, "key_right")
+    val rKeySource = splitHot
+      .map(t => splitHotCells(left, leftSid, rightRows, rightSids, t)).getOrElse(rightRows)
+    val rightKeyed = rKeySource
       .select(col("key_right").as("__rid"), explode(stareCompress(col(rightSids))).as("__rs"))
       .withColumn("__rk", stareClearToOwn(col("__rs")))
       .select(col("__rid"), col("__rk"))
     val levels = rightKeyed.select(stareLevel(col("__rk")).as("l")).distinct()
       .collect().map(_.getLong(0).toInt).sorted
-    val leftKeyed = left.withColumn("__lk", explode(filter(
-      array(levels.map(l => when(stareLevel(col(leftSid)) >= l, stareClearTo(col(leftSid), l))): _*),
+    def keyedLeft(l: DataFrame): DataFrame = l.withColumn("__lk", explode(filter(
+      array(levels.map(lv => when(stareLevel(col(leftSid)) >= lv, stareClearTo(col(leftSid), lv))): _*),
       c => c.isNotNull)))
     // no broadcast hint: Catalyst/AQE pick the exchange strategy and the
     // skew-join splitter handles residual imbalance
-    leftKeyed.join(rightKeyed, col("__lk") === col("__rk"), "inner")
-      .drop("__lk", "__rk")
-      .join(rightRows.drop(rightSids), col("__rid") === rightRows("key_right"), "inner")
-      .drop("__rid")
+    how match {
+      case "inner" =>
+        val joined = keyedLeft(left).join(rightKeyed, col("__lk") === col("__rk"), "inner")
+          .drop("__lk", "__rk")
+        StareJoin.assemble(joined, rightRows, how = "inner", broadcastRight = false)
+      case "left" =>
+        // pair ids first (cover cells are disjoint after compression, so
+        // pairs are already unique), then re-attach unmatched left rows
+        val leftIds = StareJoin.withStableId(left, "__stare_lid")
+        val pairs = keyedLeft(leftIds.select(col("__stare_lid"), col(leftSid)))
+          .join(rightKeyed, col("__lk") === col("__rk"), "inner")
+          .select(col("__stare_lid"), col("__rid"))
+        val joined = leftIds.join(pairs, Seq("__stare_lid"), "left").drop("__stare_lid")
+        StareJoin.assemble(joined, rightRows, how = "left", broadcastRight = false)
+      case other => throw new IllegalArgumentException(s"how=$other (inner|left)")
+    }
   }
 }

@@ -58,7 +58,14 @@ object StareJoin {
     * frame with all left columns, `key_right`, and right columns
     * (clashes suffixed). This is the 100TB-shape join: the big point
     * side is never exploded more than |cover levels| times and the
-    * cover side broadcasts. */
+    * cover side broadcasts.
+    *
+    * PRECONDITION (both plans): left sids must be at least as fine as
+    * the cover cells they should match — only the cover-contains-point
+    * direction is implemented. A left sid COARSER than a cover cell
+    * derives no key at that cell's level and never matches (use join()
+    * for cover-vs-cover semantics). Fine-level point tables (level
+    * 26/27) vs polygon covers (level <= ~12) always satisfy this. */
   def pointJoin(left: DataFrame, leftSid: String, right: DataFrame, rightSids: String,
                 how: String = "left"): DataFrame = {
     // The cover side must fit in a broadcast by design, so assign row ids
@@ -86,6 +93,13 @@ object StareJoin {
 
     val keyRows = rightKeyed.select(RKey).distinct().collect()
     val keySet = keyRows.map(_.getLong(0)).toSet
+    if (keySet.isEmpty) {
+      // every right cover is empty: inner -> no rows, left -> all-null
+      // right columns (one row per left row)
+      val joined = left.withColumn("__rid", lit(null).cast("long"))
+      val base = if (how == "inner") joined.filter(lit(false)) else joined
+      return assemble(base, rightRows, how, broadcastRight = true)
+    }
     val levels = keySet.map(Sid.level).toArray.sorted
 
     // Uniform-level dictionary plan: if expanding every cover cell to the
@@ -142,15 +156,30 @@ object StareJoin {
     assemble(joined, rightRows, how, broadcastRight = true)
   }
 
+  /** Stable, deterministic row ids via zipWithIndex: unlike
+    * monotonically_increasing_id (whose values can change if a cached
+    * frame is recomputed) the assignment is a pure function of the
+    * partitioned input, so the frame can be reused across joins with NO
+    * persist — cache hygiene with correctness intact. */
+  private[operators] def withStableId(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** General cover-vs-cover join (both sides array covers). */
   def join(left: DataFrame, leftSids: String, right: DataFrame, rightSids: String,
            how: String = "left"): DataFrame = {
     val rlevels = coverLevels(right, col(rightSids))
     val llevels = coverLevels(left, col(leftSids))
 
-    // persisted: ids must be identical across the two uses of each side
-    val leftIds = left.withColumn("__lid", monotonically_increasing_id()).persist()
-    val rightIds = right.withColumn("key_right", monotonically_increasing_id()).persist()
+    val leftIds = withStableId(left, "__lid")
+    val rightIds = withStableId(right, "key_right")
 
     val le = leftIds.select(col("__lid"), explode(col(leftSids)).as("__ls"))
     val re = rightIds.select(col("key_right").as("__rid"), explode(col(rightSids)).as("__rs"))
@@ -174,8 +203,8 @@ object StareJoin {
   }
 
   /** suffix clashing columns and finish the left/inner assembly. */
-  private def assemble(leftWithRid: DataFrame, rightRows: DataFrame, how: String,
-                       broadcastRight: Boolean): DataFrame = {
+  private[operators] def assemble(leftWithRid: DataFrame, rightRows: DataFrame, how: String,
+                                  broadcastRight: Boolean): DataFrame = {
     val leftCols = leftWithRid.columns.filter(_ != "__rid")
     val rightCols = rightRows.columns.filter(_ != "key_right")
     val clash = leftCols.toSet.intersect(rightCols.toSet)

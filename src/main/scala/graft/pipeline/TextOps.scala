@@ -18,10 +18,13 @@ object TextOps {
   // ----------------------------------------------------------- exact dedup
 
   /** Exact dedup on text content: keep the smallest doc_id per distinct
-    * text, count duplicates. Map-side partial agg, one shuffle on the
-    * (hashed) text. */
+    * text, count duplicates. Groups on a 128-bit content hash (two
+    * independent xxhash64 seeds) so the shuffle key is 16 bytes instead
+    * of the full text — at 100 TB the text never moves as a group key.
+    * Collision probability over P pairs is P·2^-128 (negligible at any
+    * corpus size). */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.groupBy(xxhash64(col("text"), lit(1)), xxhash64(col("text"), lit(2)))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_doc_id"), col("dup_count"))
 

@@ -172,6 +172,35 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaBroadcast = graft.operators.StareJoin.pointJoin(pts, "sid", covers, "sids", how = "inner")
       .select("id", "region").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(base === viaBroadcast)
+
+    // left shuffle join: same pair set + null-padded unmatched rows,
+    // identical to the broadcast pointJoin contract (columns included)
+    val outOfCover = Seq((90000L, 60.0, -170.0)).toDF("id", "lat", "lon")
+      .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+    val ptsPlus = pts.unionByName(outOfCover)
+    val shuffleLeft = graft.operators.Skew.shuffleJoin(ptsPlus, "sid", covers, "sids",
+      splitHot = Some(100L), how = "left")
+    val broadcastLeft = graft.operators.StareJoin.pointJoin(ptsPlus, "sid", covers, "sids", how = "left")
+    assert(shuffleLeft.columns.toSeq === broadcastLeft.columns.toSeq)
+    def leftSetOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "region").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("__null"))).toSet
+    assert(leftSetOf(shuffleLeft) === leftSetOf(broadcastLeft))
+    assert(leftSetOf(shuffleLeft).contains((90000L, "__null")))
+    // nothing left cached behind either join
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("pointJoin with all-empty covers: inner empty, left null-padded") {
+    import spark.implicits._
+    val pts = Seq((1L, 10.0, 10.0)).toDF("id", "lat", "lon")
+      .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+    val covers = Seq(("r1", Seq.empty[Long])).toDF("region", "sids")
+    val inner = graft.operators.StareJoin.pointJoin(pts, "sid", covers, "sids", how = "inner")
+    assert(inner.count() === 0)
+    val left = graft.operators.StareJoin.pointJoin(pts, "sid", covers, "sids", how = "left")
+    assert(left.count() === 1)
+    assert(left.select("region").collect()(0).isNullAt(0))
   }
 
   test("raster grid encodes pixels at an adapted level and roundtrips via pivot") {
