@@ -88,8 +88,16 @@ object Bench {
     // whole generate+encode pipeline into one task (measured: core count
     // had zero effect in that shape).
     val baseCount = base.count()
-    val baseIdx = base.withColumn("doc_idx",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1)
+    // doc_ids are dense 0..N-1 in the synthetic webtext table, so the
+    // replica index is doc_id itself — no global (un-partitioned)
+    // window, which serialized the base table into one task and spammed
+    // WindowExec warnings into the bench log. Assert the assumption and
+    // fall back to a ranked index if a future table violates it.
+    val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val baseIdx =
+      if (maxId == baseCount - 1) base.withColumn("doc_idx", col("doc_id"))
+      else base.withColumn("doc_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1)
     val pts = spark.range(baseCount * amplify)
       .withColumn("doc_idx", (col("id") % baseCount).cast("int"))
       .withColumn("rep", expr(s"id div $baseCount"))

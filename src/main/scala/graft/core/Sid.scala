@@ -180,4 +180,28 @@ object Sid {
     }
     a < runs.length && runs(a)._1 < hi
   }
+
+  /** flatten merged runs to [lo0, hi0, lo1, hi1, ...] — the form the
+    * codegen'd cover-intersects expression ships to executors. */
+  def flattenRuns(runs: Array[(Long, Long)]): Array[Long] = {
+    val out = new Array[Long](runs.length * 2)
+    var i = 0
+    while (i < runs.length) { out(2 * i) = runs(i)._1; out(2 * i + 1) = runs(i)._2; i += 1 }
+    out
+  }
+
+  /** does the sid's interval overlap any flattened run? Allocation-free
+    * binary search — the whole-stage-codegen kernel behind
+    * stare_intersects_cover. */
+  def intervalOverlapsFlat(sid: Long, flat: Array[Long]): Boolean = {
+    val lo = intervalLo(sid); val hi = intervalHi(sid)
+    var a = 0; var b = flat.length >>> 1
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (flat(2 * m) < hi) a = m + 1 else b = m
+    }
+    // run a-1 is the last with runLo < hi; runs are sorted + disjoint,
+    // so it is the only candidate
+    a > 0 && flat(2 * (a - 1) + 1) > lo
+  }
 }

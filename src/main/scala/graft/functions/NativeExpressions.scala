@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.sql.graft.shim
 
 /** Native Catalyst expressions for the hot kernels (SURVEY.md §4.3.2:
@@ -48,6 +48,27 @@ case class StareClearExpression(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** sid intersects a (driver-prepared) cover: the flattened interval
+  * runs are an expression field, shipped to executors through the
+  * codegen reference array (`ctx.addReferenceObj`) — no driver-side
+  * static state, so the plan works on a real multi-executor cluster. */
+case class StareIntersectsCoverExpression(child: Expression, flatRuns: Array[Long])
+  extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "stare_intersects_cover"
+
+  override protected def nullSafeEval(sid: Any): Any =
+    graft.core.Sid.intervalOverlapsFlat(sid.asInstanceOf[Long], flatRuns)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val runsRef = ctx.addReferenceObj("coverRuns", flatRuns, "long[]")
+    defineCodeGen(ctx, ev, sid => s"graft.core.Sid.intervalOverlapsFlat($sid, $runsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   def stareSidNative(lat: Column, lon: Column, level: Column): Column =
     shim.column(StareSidExpression(
@@ -56,4 +77,7 @@ object NativeExpressions {
 
   def stareClearNative(sid: Column): Column =
     shim.column(StareClearExpression(shim.expression(sid.cast("long"))))
+
+  def stareIntersectsCoverNative(sid: Column, flatRuns: Array[Long]): Column =
+    shim.column(StareIntersectsCoverExpression(shim.expression(sid.cast("long")), flatRuns))
 }

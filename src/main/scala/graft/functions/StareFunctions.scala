@@ -150,13 +150,13 @@ object StareFunctions {
 
   /** Predicate column: does the row's scalar sid intersect the cover?
     * The cover is prepared once on the driver (merged interval runs) and
-    * shipped in the UDF closure (tiny). Mirrors stare_intersects
-    * (staredataframe.py:741-784). */
-  def stareIntersectsCover(sid: Column, cover: Array[Long]): Column = {
-    val runs = Sid.mergedIntervals(cover)
-    val f = udf((s: Long) => Sid.intervalOverlaps(Sid.intervalLo(s), Sid.intervalHi(s), runs))
-    f(sid)
-  }
+    * shipped as a codegen reference object — the per-row test is an
+    * allocation-free binary search inside whole-stage codegen, so
+    * SpeedySubset and pod-read refines never fall out of the generated
+    * loop. Mirrors stare_intersects (staredataframe.py:741-784). */
+  def stareIntersectsCover(sid: Column, cover: Array[Long]): Column =
+    NativeExpressions.stareIntersectsCoverNative(sid,
+      Sid.flattenRuns(Sid.mergedIntervals(cover)))
 
   /** Same for rows holding sid sets. */
   def stareSetIntersectsCover(sids: Column, cover: Array[Long]): Column = {

@@ -111,7 +111,10 @@ object StareJoin {
     // multiplicity is unchanged.
     val maxLevel = levels.last
     val expansionCost = keySet.iterator.map(k => 1L << (2 * (maxLevel - Sid.level(k)))).sum
-    if (expansionCost <= 512 * 1024) {
+    // budget = broadcast-side row count: 4M (rid, key) rows ~ 64 MB —
+    // well under executor broadcast comfort, and the single-probe plan
+    // it buys beats the multi-level explode by ~2x at high core counts
+    if (expansionCost <= 4 * 1024 * 1024) {
       val expandAll = udf((sids: Seq[Long]) => Sid.expandToLevel(sids.toArray, maxLevel))
       val rightUniform = rightRows
         .select(col("key_right").as("__rid"), explode(expandAll(stareCompress(col(rightSids)))).as(RKey))

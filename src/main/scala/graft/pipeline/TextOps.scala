@@ -42,13 +42,40 @@ object TextOps {
 
   /** exact word-k-shingle Jaccard between two text columns — the refine
     * step after LSH candidate generation (and the quantity MinHash
-    * estimates). Mirrored 1:1 by the DuckDB oracle SQL. */
-  def shingleJaccard(a: Column, b: Column, k: Int = 3): Column = {
-    val ga = array_distinct(shingles(a, k)); val gb = array_distinct(shingles(b, k))
-    val inter = size(array_intersect(ga, gb)).cast("double")
-    val uni = size(array_union(ga, gb)).cast("double")
-    when(uni === 0, 0.0).otherwise(inter / uni)
+    * estimates). One-pass primitive UDF over exact shingle STRINGS (no
+    * hashing, so no collision risk vs the oracle): the higher-order-
+    * function formulation (slice per index) evaluated interpreted at
+    * O(words²) per row and dominated the q15 bench. Mirrored 1:1 by the
+    * DuckDB oracle SQL. */
+  def shingleJaccard(a: Column, b: Column, k: Int = 3): Column =
+    shingleJaccardUdf(a, b, lit(k))
+
+  private def shingleSet(text: String, k: Int): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    if (text != null) {
+      val words = text.trim.toLowerCase.split("\\s+")
+      var i = 0
+      while (i + k <= words.length) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = i + 1
+        while (j < i + k) { sb.append(' ').append(words(j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    out
   }
+
+  private val shingleJaccardUdf = udf((a: String, b: String, k: Int) => {
+    val sa = shingleSet(a, k); val sb = shingleSet(b, k)
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else {
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  })
 
   /** deterministic 64-bit-ish hash of a string column (xxhash64). */
   def h64(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
@@ -95,23 +122,30 @@ object TextOps {
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
     * (band index, band hash), dedup pairs. bands*rowsPerBand = perms.
     *
-    * With 16 bands of 2 rows, a pair at Jaccard J is missed with
-    * probability (1-J²)^16 — ~5e-8 at J=0.8, ~4e-17 at J=0.95 — so
-    * downstream of an exact-Jaccard refine the result is the exact
-    * pair set for any threshold >= ~0.8.
+    * Parameter shape (12 bands x 3 rows): a pair at Jaccard J is missed
+    * with probability (1-J³)^12 — ~1.6e-7 at J=0.9, ~1e-12 at J=0.95 —
+    * while BACKGROUND pairs at J~0.07 collide at only ~3.6e-3 (wider
+    * bands of 2 rows produced ~20x the candidate volume on mid-Jaccard
+    * corpora: all-pairs in disguise). Downstream of an exact-Jaccard
+    * refine the result is the exact pair set for thresholds that sit in
+    * a corpus's near-dup gap (>= ~0.9 guaranteed; lower when no pairs
+    * occupy the band in between, as with planted-dup corpora).
     *
     * `maxBucket` guards the self-join against degenerate buckets
     * (boilerplate/empty texts share band hashes): buckets above the cap
     * are dropped and counted to stderr — the O(bucket²) blowup is
     * bounded by cap² per bucket at any corpus size. */
-  def minhashCandidates(docs: DataFrame, k: Int = 3, perms: Int = 32, bands: Int = 16,
+  def minhashCandidates(docs: DataFrame, k: Int = 3, perms: Int = 36, bands: Int = 12,
                         maxBucket: Long = 100000L): DataFrame = {
     val rowsPerBand = perms / bands
+    // cache the banded signatures: the bucket-size scan and the pair
+    // join both read them; the candidate pair set is materialized and
+    // the signature cache released before returning.
     val sig = docs.select(col("doc_id"), minhashSignature(col("text"), k, perms).as("sig"))
     val banded = sig.select(col("doc_id"), posexplode(
       array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
-      .as(Seq("band", "bandhash")))
+      .as(Seq("band", "bandhash"))).persist()
     val sized = banded.withColumn("__bn",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bandhash"))))
     val dropped = sized.filter(col("__bn") > maxBucket)
@@ -121,9 +155,13 @@ object TextOps {
       s"[minhashCandidates] dropped $nDropped rows in over-cap buckets (cap=$maxBucket)")
     val a = keptBanded.withColumnRenamed("doc_id", "doc_a")
     val b = keptBanded.withColumnRenamed("doc_id", "doc_b")
-    a.join(b, Seq("band", "bandhash"))
+    val result = a.join(b, Seq("band", "bandhash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      .persist()
+    result.count()
+    banded.unpersist(false)
+    result
   }
 
   /** SimHash (64-bit) over word hashes: per-bit majority vote of the

@@ -191,6 +191,22 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("speedy-subset filter stays in whole-stage codegen (no ScalaUDF)") {
+    val r = SparkEntry.region("europe_c")
+    val cover = SparkEntry.regionCover(r)
+    val docs = SparkEntry.indexed(spark, "/root/testdata/sf0.001")
+    val q = graft.operators.SpeedySubset(docs, "sid", cover)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"UDF leaked into the subset plan:\n$plan")
+    // and it computes the same rows as the interpreted overlap test
+    val runs = Sid.mergedIntervals(cover)
+    val expect = docs.collect().count(row => {
+      val sid = row.getLong(row.fieldIndex("sid"))
+      Sid.intervalOverlaps(Sid.intervalLo(sid), Sid.intervalHi(sid), runs)
+    })
+    assert(q.count() === expect)
+  }
+
   test("pointJoin with all-empty covers: inner empty, left null-padded") {
     import spark.implicits._
     val pts = Seq((1L, 10.0, 10.0)).toDF("id", "lat", "lon")

@@ -128,4 +128,20 @@ class SidPropertySpec extends AnyFunSuite {
       assert(Sid.intervalLo(re) === Sid.intervalLo(sid))
     }
   }
+
+  test("intervalOverlapsFlat equals the tuple-run overlap test") {
+    val r = rng
+    (1 to N).foreach { _ =>
+      // random compressed cover from a handful of random cells
+      val cells = Array.fill(1 + r.nextInt(6))(Htm.latLonToSid(
+        r.nextDouble() * 179.8 - 89.9, r.nextDouble() * 360.0 - 180.0, r.nextInt(10)))
+      val runs = Sid.mergedIntervals(cells)
+      val flat = Sid.flattenRuns(runs)
+      (1 to 20).foreach { _ =>
+        val sid = randSid(r)
+        val expected = Sid.intervalOverlaps(Sid.intervalLo(sid), Sid.intervalHi(sid), runs)
+        assert(Sid.intervalOverlapsFlat(sid, flat) === expected, s"sid=${Sid.hex(sid)}")
+      }
+    }
+  }
 }
