@@ -217,6 +217,37 @@ object Cover {
     coverFromPolygon(Array((lons.toArray, lats.toArray)), level, forceCcw = true)
   }
 
+  /** Elliptical cover (make_ellipse_sids, reference io/granules/modis.py
+    * :525-598): the reference samples an ellipse boundary in a projected
+    * CRS (matplotlib vertices), converts to lon/lat and covers the ring;
+    * here the boundary is sampled directly in the local tangent plane at
+    * the center — width/height are the FULL axis lengths in meters along
+    * the rotated axes, `angleDeg` counterclockwise from east (the
+    * reference passes angle = 90 - sensorAzimuth). Not meaningful at the
+    * poles (east is undefined), like the projected-CRS original. */
+  def ellipseCover(latDeg: Double, lonDeg: Double, widthM: Double, heightM: Double,
+                   angleDeg: Double, level: Int, nSamples: Int = 64): Array[Long] = {
+    val earthR = 6371008.8
+    val c = Htm.latLonToXyz(latDeg, lonDeg)
+    val east = norm(cross(Array(0.0, 0.0, 1.0), c))
+    val north = cross(c, east)
+    val ca = math.cos(math.toRadians(angleDeg)); val sa = math.sin(math.toRadians(angleDeg))
+    val pts = Array.tabulate(nSamples) { t =>
+      val phi = 2 * math.Pi * t / nSamples
+      val x0 = (widthM / 2) * math.cos(phi); val y0 = (heightM / 2) * math.sin(phi)
+      val x = x0 * ca - y0 * sa; val y = x0 * sa + y0 * ca
+      val r = math.sqrt(x * x + y * y) / earthR // angular offset (radians)
+      val cr = math.cos(r); val sr = math.sin(r)
+      val ux = x / math.max(1e-300, math.sqrt(x * x + y * y))
+      val uy = y / math.max(1e-300, math.sqrt(x * x + y * y))
+      norm(Array(
+        c(0) * cr + (east(0) * ux + north(0) * uy) * sr,
+        c(1) * cr + (east(1) * ux + north(1) * uy) * sr,
+        c(2) * cr + (east(2) * ux + north(2) * uy) * sr))
+    }
+    cover(new RingRegion(new Ring(pts)), level)
+  }
+
   /** Circular cover: level-L trixels intersecting the cap of the given
     * diameter (degrees) centered on the sid's trixel center. Mirrors
     * pystare.sid2circular_cover (spatial_conversions.py:508-554). */

@@ -145,14 +145,20 @@ object Geo {
     a / 2
   }
 
-  /** Split polygons straddling the antimeridian: same rule as the
-    * reference (trixel_conversions.py:562-649) — vertices with lon > 180
-    * already wrapped; a non-CCW-looking planar triangle that spans the
-    * seam is split into parts with all lons in [-180, 180]. We operate on
-    * a single lon/lat ring and emit 1..2 rings. */
-  def splitAntimeridian(lons: Array[Double], lats: Array[Double]): Array[(Array[Double], Array[Double])] = {
+  /** Split polygons straddling the antimeridian: same semantics as the
+    * reference (trixel_conversions.py:598-649), which wraps the crossing
+    * ring's vertices, intersects with the [-180,180] bbox (inside part)
+    * and translates the remainder by -360 before re-unioning. Trixel
+    * rings are convex, so the bbox intersection/difference each yield
+    * exactly one piece — equivalent to clipping the shifted ring at the
+    * 180 meridian, which is what this does: emit 1..2 rings with all
+    * lons in [-180, 180]. `drop=true` mirrors the reference's option of
+    * dropping seam-crossing trixels instead of splitting them. */
+  def splitAntimeridian(lons: Array[Double], lats: Array[Double],
+                        drop: Boolean = false): Array[(Array[Double], Array[Double])] = {
     val maxL = lons.max; val minL = lons.min
     if (maxL - minL <= 180) return Array((lons, lats))
+    if (drop) return Array.empty
     // shift negative lons +360, clip at 180, producing east part and west part
     val shifted = lons.map(l => if (l < 0) l + 360 else l)
     def clip(lo: Double, hi: Double): (Array[Double], Array[Double]) = {

@@ -70,6 +70,17 @@ object StareFunctions {
   def stareCircularCover(sid: Column, diameterDeg: Column, level: Int): Column =
     circularUdf(sid, diameterDeg, lit(level))
 
+  private val ellipseUdf = udf((lat: Double, lon: Double, widthM: Double, heightM: Double,
+                                angleDeg: Double, level: Int) =>
+    Cover.ellipseCover(lat, lon, widthM, heightM, angleDeg, level))
+
+  /** elliptical cover around a lat/lon center (make_ellipse_sids,
+    * io/granules/modis.py:548-598): axis lengths in meters, angle ccw
+    * from east (= 90 - sensor azimuth in the reference). */
+  def stareEllipseCover(lat: Column, lon: Column, widthM: Column, heightM: Column,
+                        angleDeg: Column, level: Int): Column =
+    ellipseUdf(lat, lon, widthM, heightM, angleDeg, lit(level))
+
   private val expandUdf = udf((sids: Seq[Long], level: Int) => Sid.expandToLevel(sids.toArray, level))
   def stareExpand(sids: Column, level: Int): Column = expandUdf(sids, lit(level))
 
@@ -204,6 +215,9 @@ object StareFunctions {
         case Geo.MultiPolygonG(ps) => ps.flatMap(p => Cover.coverFromPolygon(p.rings, level, forceCcw = true))
       }
     })
+    spark.udf.register("stare_ellipse_cover",
+      (lat: Double, lon: Double, widthM: Double, heightM: Double, angleDeg: Double, level: Int) =>
+        Cover.ellipseCover(lat, lon, widthM, heightM, angleDeg, level))
     spark.udf.register("stare_tiv", (millis: Long, fwd: Int, rev: Int) => Tiv.fromUtcMillis(millis, fwd, rev))
     spark.udf.register("stare_trixel_wkt", (sids: Seq[Long]) => trixelWkt(sids.toArray))
   }

@@ -219,6 +219,33 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left.select("region").collect()(0).isNullAt(0))
   }
 
+  test("ellipse cover contains interior points and excludes far exterior points") {
+    // 100 km x 40 km ellipse rotated 30deg ccw from east, centered mid-lat
+    val (clat, clon) = (42.0, 7.0)
+    val cov = Cover.ellipseCover(clat, clon, 100000.0, 40000.0, 30.0, 12)
+    assert(cov.nonEmpty)
+    val runs = Sid.mergedIntervals(cov)
+    def hit(lat: Double, lon: Double): Boolean = {
+      val sid = Htm.latLonToSid(lat, lon, 26)
+      Sid.intervalOverlaps(Sid.intervalLo(sid), Sid.intervalHi(sid), runs)
+    }
+    val degPerMLat = 1.0 / 111195.0
+    val degPerMLon = degPerMLat / math.cos(math.toRadians(clat))
+    val ca = math.cos(math.toRadians(30)); val sa = math.sin(math.toRadians(30))
+    // along the rotated major axis, inside (0.8 x semi) and outside (2 x semi)
+    def onMajor(f: Double) = (clat + f * 50000 * sa * degPerMLat, clon + f * 50000 * ca * degPerMLon)
+    def onMinor(f: Double) = (clat + f * 20000 * ca * degPerMLat, clon - f * 20000 * sa * degPerMLon)
+    assert(hit(clat, clon))
+    assert(hit(onMajor(0.8)._1, onMajor(0.8)._2) && hit(onMajor(-0.8)._1, onMajor(-0.8)._2))
+    assert(hit(onMinor(0.8)._1, onMinor(0.8)._2) && hit(onMinor(-0.8)._1, onMinor(-0.8)._2))
+    assert(!hit(onMajor(2.5)._1, onMajor(2.5)._2))
+    assert(!hit(onMinor(4.0)._1, onMinor(4.0)._2))
+    // anisotropy: a point past the minor semi-axis but within the major
+    // semi-axis distance must be covered only in the major direction
+    assert(hit(onMajor(0.95)._1, onMajor(0.95)._2))
+    assert(!hit(onMinor(2.2)._1, onMinor(2.2)._2))
+  }
+
   test("raster grid encodes pixels at an adapted level and roundtrips via pivot") {
     val g = graft.sources.Raster.gridToDf(spark, 16, 8, -10.0, 50.0, 0.25, -0.25)
     assert(g.count() === 128)
