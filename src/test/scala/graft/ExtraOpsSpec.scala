@@ -207,6 +207,20 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.count() === expect)
   }
 
+  test("speedy-subset bounds filter reaches the parquet scan (PushedFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("pushdown").toString
+    val docs = SparkEntry.indexed(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("sid"))
+    Pods.write(docs, dir, "sid", podLevel = 2, lineageId = "pd1")
+    val r = SparkEntry.region("europe_c")
+    val cover = SparkEntry.regionCover(r)
+    val q = graft.operators.SpeedySubset(Pods.read(spark, dir, cover), "sid", cover)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      ("GreaterThanOrEqual\\(sid".r.findFirstIn(plan).isDefined ||
+        "GreaterThan\\(sid".r.findFirstIn(plan).isDefined),
+      s"sid range not pushed to the scan:\n$plan")
+  }
+
   test("pointJoin with all-empty covers: inner empty, left null-padded") {
     import spark.implicits._
     val pts = Seq((1L, 10.0, 10.0)).toDF("id", "lat", "lon")

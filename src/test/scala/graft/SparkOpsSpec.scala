@@ -187,6 +187,11 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pts = Seq((1L, 10.0, 10.0), (2L, 10.5, 10.5), (3L, 50.0, 50.0), (4L, 10.1, 10.1))
       .toDF("id", "lat", "lon")
       .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+    // empty left side: correctly-shaped empty frame, no exception
+    val empty = KnnJoin(pts.filter(col("id") > 100), "id", "sid", "lat", "lon",
+      pts, "id", "sid", "lat", "lon", k = 2, initialDiameterDeg = 4.0, coverLevel = 7)
+    assert(empty.count() === 0 && empty.columns.contains("id_nn"))
+
     val out = KnnJoin(pts, "id", "sid", "lat", "lon", pts, "id", "sid", "lat", "lon",
       k = 2, initialDiameterDeg = 4.0, coverLevel = 7)
     val nn1 = out.filter(col("nn_rank") === 1).select(col("id"), col("id_nn"))

@@ -56,4 +56,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q3.awaitTermination(60000)
     assert(spark.read.parquet(out).count() === 51)
   }
+
+  test("windowed pod counts with watermark drop late rows past the threshold") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    // batch 1: rows in two 5-minute windows, advancing the watermark
+    mem.addData((0 until 20).map(i =>
+      Page(s"https://w/$i", new java.sql.Timestamp(t0.getTime + i * 30000L), s"window page $i", "en")))
+    val out = java.nio.file.Files.createTempDirectory("wm_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wm_ckpt").toString
+    val counts = StreamingIndex.podCounts(mem.toDF())
+    val q = counts.writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination(60000)
+    // batch 2: a row 30 minutes older than the max seen (far past the
+    // 1-minute watermark) plus a fresh row to close earlier windows
+    mem.addData(
+      Page("https://w/late", new java.sql.Timestamp(t0.getTime - 1800000L), "too late", "en"),
+      Page("https://w/new", new java.sql.Timestamp(t0.getTime + 3600000L), "fresh page", "en"))
+    val q2 = counts.writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    q2.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+    // closed windows cover the 20 on-time rows; the too-late row's
+    // window (t0-30min) must not appear
+    val sums = got.agg(sum(col("pages"))).collect()(0).getLong(0)
+    assert(sums === 20)
+    val lateWindowStart = new java.sql.Timestamp(t0.getTime - 1800000L)
+    val lateRows = got.filter(col("window.start") <= lateWindowStart &&
+      col("window.end") > lateWindowStart).count()
+    assert(lateRows === 0)
+  }
 }
