@@ -26,6 +26,13 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // session warm-up (JIT + codegen + FS metadata) so the first timed
+    // query measures the operator, not SparkSession bring-up
+    try {
+      spark.read.parquet(s"$sfDir/documents.parquet").groupBy(col("lang")).count().collect()
+      spark.range(1000000).select(sum(col("id"))).collect()
+    } catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(fn(spark, sfDir).count())
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }

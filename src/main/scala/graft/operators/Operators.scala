@@ -108,6 +108,13 @@ object KnnJoin {
       filter(array(levels.map(l => when(stareLevel(col(rSid)) >= l, stareClearTo(col(rSid), l))): _*),
         c => c.isNotNull))).persist()
 
+    // Loop control is a per-round driver-side count of still-incomplete
+    // queries: almost all queries complete in the first round or two, so
+    // early exit avoids ever scheduling the wide-cap rounds' stages (a
+    // count-free single lazy plan was measured 3x slower — every round's
+    // window/anti-join stages execute even over empty remainders). Each
+    // remaining/complete frame is persisted because it feeds two
+    // consumers (the next round's anti-join and the final union).
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](rightKeys)
     var remaining = left.persist()
     persisted += remaining
@@ -115,8 +122,9 @@ object KnnJoin {
     var results: List[DataFrame] = Nil
     var diameter = initialDiameterDeg
     var round = 0
+    var sphereCovered = false
     val distCol = haversineRad(col(leftLat), col(leftLon), col(rLat), col(rLon))
-    while (round < maxRounds && remainingCount > 0) {
+    while (round < maxRounds && !sphereCovered && remainingCount > 0) {
       // keep the per-query cover at ~constant cell count: each doubling
       // of the cap diameter drops the cover level by one. The cap is
       // clamped to the full sphere, so late rounds degrade gracefully
@@ -136,9 +144,9 @@ object KnnJoin {
       // at level 26) rather than the exact query point
       val capRad = math.toRadians(math.min(capDeg, 360.0) / 2) - 1e-6
       val isLast = round == maxRounds - 1
+      sphereCovered = capRad >= math.Pi // whole sphere: nothing beyond it
       val complete = (
-        if (isLast) candidates
-        else if (capRad >= math.Pi) candidates // whole sphere: nothing beyond it
+        if (isLast || sphereCovered) candidates
         else candidates.withColumn("__kth", max(when(col("nn_rank") === k, col("dist_rad")))
             .over(Window.partitionBy(col(leftId))))
           .filter(col("__kth").isNotNull && col("__kth") < capRad)
@@ -146,13 +154,13 @@ object KnnJoin {
         ).persist()
       persisted += complete
       results = complete :: results
-      if (!isLast && capRad < math.Pi) {
+      if (!isLast && !sphereCovered) {
         val done = complete.select(col(leftId)).distinct()
         val next = remaining.join(done, Seq(leftId), "left_anti").persist()
         persisted += next
         remainingCount = next.count()
         remaining = next
-      } else remainingCount = 0
+      }
       diameter *= 2
       round += 1
     }
