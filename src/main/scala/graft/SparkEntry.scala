@@ -256,8 +256,10 @@ object SparkEntry {
       // what the DuckDB oracle computes (cross join + row_number)
       val docs = indexed(s, dir).select(col("doc_id"), col("sid"), col("lat"), col("lon"))
       val queries = docs.filter(col("doc_id") % 97 === 0)
+      // initial cap sized so ~every query completes in round 0 at these
+      // densities (the completion proof still gates each query exactly)
       KnnJoin(queries, "doc_id", "sid", "lat", "lon", docs, "doc_id", "sid", "lat", "lon",
-          k = 3, initialDiameterDeg = 16.0, coverLevel = 6, maxRounds = 6)
+          k = 3, initialDiameterDeg = 32.0, coverLevel = 5, maxRounds = 5)
         .select(col("doc_id"), col("doc_id_nn"), col("nn_rank").cast("long").as("nn_rank"))
         .orderBy(col("doc_id"), col("nn_rank"))
     }),

@@ -25,6 +25,14 @@ class ExtensionsSpec extends AnyFunSuite {
       // null path through SQL
       val n = spark.sql("SELECT stare_sid(CAST(NULL AS DOUBLE), 10.5d, 27)").collect()(0)
       assert(n.isNullAt(0))
+      // cover predicate against a literal cover: the point's own cleared
+      // cell must intersect, a distant cell must not
+      val sid = 4598246232954051067L
+      val cell = graft.core.Sid.clearToLevel(graft.core.Sid.coerceLevel(sid, 8))
+      val hit = spark.sql(
+        s"SELECT stare_intersects_cover(stare_sid(20.0d, 10.5d, 27), array(${cell}L)), " +
+          s"stare_intersects_cover(stare_sid(-20.0d, -110.5d, 27), array(${cell}L))").collect()(0)
+      assert(hit.getBoolean(0) && !hit.getBoolean(1))
     } finally spark.stop()
   }
 }
