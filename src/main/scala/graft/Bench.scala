@@ -46,12 +46,73 @@ object Bench {
     val (joinSec, joinRows) = joinThroughput(spark, sfDir, amplify)
     System.err.println(f"[bench] join_throughput: $joinRows rows in $joinSec%.2f s = ${joinRows / joinSec}%.0f rows/s")
 
+    // skew evidence (north rule: hot cells must not melt a reducer):
+    // shuffle-path join over a HALF-in-one-city distribution, with and
+    // without exact hot-cell splitting
+    spark.catalog.clearCache()
+    val (skewBase, skewSplit, skewRows) = skewThroughput(spark, sfDir)
+    System.err.println(f"[bench] skew_join: $skewRows rows, no-split $skewBase%.2f s, split $skewSplit%.2f s")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""join_rows":$joinRows,"join_sec":$joinSec,"join_rows_per_sec":${(joinRows / joinSec).toLong},""" +
+      s""""skew_rows":$skewRows,"skew_nosplit_sec":$skewBase,"skew_split_sec":$skewSplit,""" +
       s""""cpus":$cpus}""")
     spark.stop()
+  }
+
+  /** Skewed shuffle-join measurement: half the points pile into one
+    * level-6 city cell; time the shuffle-path cover join without and
+    * with exact hot-cell splitting (Skew.splitHotCells). Row counts are
+    * asserted identical — splitting is a pure re-keying. */
+  def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 4000000L): (Double, Double, Long) = {
+    import graft.functions.StareFunctions._
+    val pts = spark.range(n)
+      .withColumn("hot", col("id") % 10 > 0)
+      // hot 90%: jitter inside one ~1.4deg cell around (10, 10); cold
+      // 10%: spread over a 40x40 degree region
+      .withColumn("lat", when(col("hot"), lit(10.0) + (col("id") % 97).cast("double") / 97.0)
+        .otherwise(lit(-10.0) + (col("id") % 4001).cast("double") / 100.0))
+      .withColumn("lon", when(col("hot"), lit(10.0) + (col("id") % 89).cast("double") / 89.0)
+        .otherwise(lit(60.0) + (col("id") % 3989).cast("double") / 100.0))
+      .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+      .select(col("id"), col("sid"))
+    pts.persist().count()
+    val covers = {
+      import spark.implicits._
+      Seq(
+        ("hot_city", graft.core.Cover.coverFromBox(8.0, 13.0, 8.0, 13.0, 6).toSeq),
+        ("cold_region", graft.core.Cover.coverFromBox(58.0, 102.0, -12.0, 32.0, 6).toSeq)
+      ).toDF("region", "sids")
+    }
+    def run(split: Option[Long]): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val c = graft.operators.Skew.shuffleJoin(pts, "sid", covers, "sids", splitHot = split,
+        knownMinLeftLevel = Some(26)).count()
+      ((System.nanoTime() - t0) / 1e9, c)
+    }
+    // Force the true shuffle path for both runs: a 2-row cover side
+    // auto-broadcasts (no skew problem exists), and AQE's skew splitter
+    // rebalances SMJ partitions — the exact cell splitting is the
+    // mechanism for what remains: shuffle joins/keyed aggregations on
+    // big-big sides where one key must not own a reducer. Configs are
+    // restored afterwards.
+    val priorSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    val priorBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      run(None) // warm-up
+      val (baseSec, baseRows) = run(None)
+      val (splitSec, splitRows) = run(Some(50000L))
+      require(baseRows == splitRows, s"split changed results: $baseRows != $splitRows")
+      pts.unpersist()
+      (baseSec, splitSec, n)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", priorSkew)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
+    }
   }
 
   /** The north-rule workload: points (amplified deterministic replicas of

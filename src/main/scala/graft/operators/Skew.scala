@@ -11,35 +11,56 @@ import graft.functions.StareFunctions._
   *
   * STARE gives an *exact* salting mechanism: a trixel's four children
   * partition it. Splitting a hot cover cell into descendants rewrites
-  * one fat join key into 4^k disjoint keys whose point populations are
-  * the true spatial sub-populations — the left side derives child keys
-  * directly (clearToLevel at the deeper level), so unlike classic
-  * salting no replication of the probe side is needed and results are
-  * bit-identical.
+  * one fat join key into up to 4^k disjoint keys whose point
+  * populations are the true spatial sub-populations — the left side
+  * derives child keys directly (clearToLevel at the deeper level), so
+  * unlike classic salting no replication of the probe side is needed
+  * and results are bit-identical.
+  *
+  * The split decision is computed ON THE DRIVER from a sampled
+  * per-cell histogram (covers are small by design), which also yields a
+  * split SPEC: the left side emits a deep-level key ONLY for rows whose
+  * ancestor is a split parent (children partition the parent, so a
+  * gated key always hits). Without the gate, every left row paid one
+  * extra exploded key per split level — measured 2x total join cost at
+  * 4M rows with one hot city.
   */
 object Skew {
+
+  /** A hot cell that was split: the original cell and the levels its
+    * replacement descendants live at. */
+  final case class SplitParent(cell: Long, level: Int, childLevels: Array[Int])
+
+  /** `keptLevels` = levels of cells kept whole (probed unconditionally);
+    * split-child levels NOT in keptLevels are probed only under their
+    * parent's gate. */
+  final case class SplitResult(right: DataFrame, parents: Seq[SplitParent], keptLevels: Array[Int])
 
   /** Estimate per-cell point counts from a sample of the left side and
     * split cells whose projected population exceeds `maxRowsPerCell`
     * (descending one level quarters the expected population; recurse
-    * up to `maxExtraLevels`). Returns the rewritten cover column data.
+    * up to `maxExtraLevels`).
     *
     * Split depth is capped at the EXACT minimum left-side sid level
     * (one narrow aggregation): a left sid coarser than a split cell
     * would derive no key at the cell's level and silently lose its
     * match — the cap keeps the rewrite bit-identical for any input. */
-  def splitHotCells(left: DataFrame, leftSid: String,
-                    right: DataFrame, rightSids: String,
-                    maxRowsPerCell: Long, sampleFraction: Double = 0.01,
-                    maxExtraLevels: Int = 4): DataFrame = {
+  def splitHotCellsWithSpec(left: DataFrame, leftSid: String,
+                            right: DataFrame, rightSids: String,
+                            maxRowsPerCell: Long, sampleFraction: Double = 0.01,
+                            maxExtraLevels: Int = 4,
+                            knownMinLeftLevel: Option[Int] = None): SplitResult = {
     // per-cell sample counts (cells normalized at own level)
     val cells = right.select(explode(stareCompress(col(rightSids))).as("c"))
       .select(stareClearToOwn(col("c")).as("c")).distinct().collect().map(_.getLong(0))
     val levels = cells.map(Sid.level).distinct.sorted
-    val minLeftLevel = left.agg(min(stareLevel(col(leftSid)))).collect()(0) match {
-      case r if r.isNullAt(0) => Sid.MaxLevel // empty left: cap is irrelevant
-      case r                  => r.getLong(0).toInt
-    }
+    // callers that KNOW their point level (e.g. a level-26 indexed
+    // table) pass it and skip the exact full-scan guard
+    val minLeftLevel = knownMinLeftLevel.getOrElse(
+      left.agg(min(stareLevel(col(leftSid)))).collect()(0) match {
+        case r if r.isNullAt(0) => Sid.MaxLevel // empty left: cap is irrelevant
+        case r                  => r.getLong(0).toInt
+      })
     val sample = left.sample(withReplacement = false, sampleFraction, seed = 42)
       .select(col(leftSid).as("s"))
     val keyed = sample.withColumn("k", explode(filter(
@@ -51,7 +72,7 @@ object Skew {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val scale = 1.0 / sampleFraction
 
-    // recursively split hot cells (driver-side: covers are small by design)
+    // the split plan, fully decided on the driver
     def split(cell: Long, estRows: Double, extra: Int): Seq[Long] = {
       if (estRows <= maxRowsPerCell || extra >= maxExtraLevels ||
         Sid.level(cell) >= math.min(minLeftLevel, Sid.MaxLevel)) Seq(cell)
@@ -62,15 +83,31 @@ object Skew {
         (0 until 4).flatMap(i => split((lo + i * childInc) | (l + 1), estRows / 4, extra + 1))
       }
     }
+    val plan: Map[Long, Seq[Long]] = cells.map { cell =>
+      cell -> split(cell, counts.getOrElse(cell, 0L) * scale, 0)
+    }.toMap
+    val parents = plan.collect {
+      case (cell, children) if children != Seq(cell) =>
+        SplitParent(cell, Sid.level(cell), children.map(Sid.level).distinct.sorted.toArray)
+    }.toSeq.sortBy(_.cell)
+    val keptLevels = plan.collect {
+      case (cell, children) if children == Seq(cell) => Sid.level(cell)
+    }.toArray.distinct.sorted
+
     val rewriteUdf = udf((sids: Seq[Long]) => {
       val canon = Sid.compress(sids.toArray)
-      canon.flatMap { c =>
-        val cell = Sid.clearToLevel(c)
-        split(cell, counts.getOrElse(cell, 0L) * scale, 0)
-      }
+      canon.flatMap(c => plan.getOrElse(Sid.clearToLevel(c), Seq(Sid.clearToLevel(c))))
     })
-    right.withColumn(rightSids, rewriteUdf(col(rightSids)))
+    SplitResult(right.withColumn(rightSids, rewriteUdf(col(rightSids))), parents, keptLevels)
   }
+
+  /** Back-compat wrapper returning only the rewritten cover frame. */
+  def splitHotCells(left: DataFrame, leftSid: String,
+                    right: DataFrame, rightSids: String,
+                    maxRowsPerCell: Long, sampleFraction: Double = 0.01,
+                    maxExtraLevels: Int = 4): DataFrame =
+    splitHotCellsWithSpec(left, leftSid, right, rightSids,
+      maxRowsPerCell, sampleFraction, maxExtraLevels).right
 
   /** Shuffle-path spatial join for cover sides too large to broadcast:
     * sort-merge/shuffled-hash equi-join on the prefix keys with AQE skew
@@ -82,21 +119,52 @@ object Skew {
     * instead of persist + monotonically_increasing_id: nothing stays
     * cached after the query completes. */
   def shuffleJoin(left: DataFrame, leftSid: String, right: DataFrame, rightSids: String,
-                  splitHot: Option[Long] = None, how: String = "inner"): DataFrame = {
+                  splitHot: Option[Long] = None, how: String = "inner",
+                  knownMinLeftLevel: Option[Int] = None): DataFrame = {
     // ids first, split-rewrite second: the assembled output carries the
     // ORIGINAL cover rows; only the join-key derivation sees split cells
     val rightRows = StareJoin.withStableId(right, "key_right")
-    val rKeySource = splitHot
-      .map(t => splitHotCells(left, leftSid, rightRows, rightSids, t)).getOrElse(rightRows)
+    val splitRes = splitHot
+      .map(t => splitHotCellsWithSpec(left, leftSid, rightRows, rightSids, t,
+        knownMinLeftLevel = knownMinLeftLevel))
+    val rKeySource = splitRes.map(_.right).getOrElse(rightRows)
+    // CRITICAL: a split cover must NOT be re-compressed — compress
+    // canonically merges the four split siblings straight back into the
+    // hot parent, silently undoing the split (round-1 latent bug: the
+    // old code compressed unconditionally, so splitting never actually
+    // reached the join keys). The rewrite UDF already compresses its
+    // input and emits normalized disjoint cells.
+    val cellsCol = if (splitRes.isDefined) col(rightSids) else stareCompress(col(rightSids))
     val rightKeyed = rKeySource
-      .select(col("key_right").as("__rid"), explode(stareCompress(col(rightSids))).as("__rs"))
+      .select(col("key_right").as("__rid"), explode(cellsCol).as("__rs"))
       .withColumn("__rk", stareClearToOwn(col("__rs")))
       .select(col("__rid"), col("__rk"))
-    val levels = rightKeyed.select(stareLevel(col("__rk")).as("l")).distinct()
-      .collect().map(_.getLong(0).toInt).sorted
-    def keyedLeft(l: DataFrame): DataFrame = l.withColumn("__lk", explode(filter(
-      array(levels.map(lv => when(stareLevel(col(leftSid)) >= lv, stareClearTo(col(leftSid), lv))): _*),
-      c => c.isNotNull)))
+    val parents = splitRes.map(_.parents).getOrElse(Seq.empty)
+    // levels probed unconditionally: every cell level when no split ran,
+    // otherwise the kept-whole cells' levels. Split-child levels already
+    // in the base set are matched by the base key (no gated duplicate —
+    // a duplicate key value would double pairs); levels introduced ONLY
+    // by splitting are probed under their parent's membership gate, so
+    // non-hot rows never pay for them. A row lies in at most one parent
+    // (cells are disjoint), so gates cannot duplicate a level either.
+    val baseLevels: Array[Int] = splitRes.map(_.keptLevels).getOrElse(
+      rightKeyed.select(stareLevel(col("__rk")).as("l")).distinct()
+        .collect().map(_.getLong(0).toInt).sorted)
+    val baseSet = baseLevels.toSet
+    def keyExprs: Seq[Column] = {
+      val base = baseLevels.toSeq.map(lv =>
+        when(stareLevel(col(leftSid)) >= lv, stareClearTo(col(leftSid), lv)))
+      val gated = parents.flatMap { p =>
+        p.childLevels.filter(lv => !baseSet.contains(lv)).map { lv =>
+          when(stareLevel(col(leftSid)) >= lv &&
+            stareClearTo(col(leftSid), p.level) === p.cell,
+            stareClearTo(col(leftSid), lv))
+        }
+      }
+      base ++ gated
+    }
+    def keyedLeft(l: DataFrame): DataFrame =
+      l.withColumn("__lk", explode(filter(array(keyExprs: _*), c => c.isNotNull)))
     // no broadcast hint: Catalyst/AQE pick the exchange strategy and the
     // skew-join splitter handles residual imbalance
     how match {
