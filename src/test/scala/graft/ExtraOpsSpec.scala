@@ -157,6 +157,14 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Array((Array(99.0, 130.0, 130.0, 99.0, 99.0), Array(-31.0, -31.0, -5.0, -5.0, -31.0))), 6, forceCcw = true).toSeq)
     ).toDF("region", "sids")
 
+    // the split spec must be non-trivial: real parents, strictly deeper
+    // children (guards the round-1 regression where re-compression
+    // silently undid every split before the join keys)
+    val spec = graft.operators.Skew.splitHotCellsWithSpec(pts, "sid", covers, "sids",
+      maxRowsPerCell = 100, sampleFraction = 0.5)
+    assert(spec.parents.nonEmpty)
+    assert(spec.parents.forall(p => p.childLevels.forall(_ > p.level)))
+
     val split = graft.operators.Skew.splitHotCells(pts, "sid", covers, "sids",
       maxRowsPerCell = 100, sampleFraction = 0.5)
     // the hot cover must now contain deeper cells than the original
