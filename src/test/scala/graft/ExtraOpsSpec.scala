@@ -241,6 +241,41 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left.select("region").collect()(0).isNullAt(0))
   }
 
+  test("box covers are supersets: random interior points always intersect (refine soundness)") {
+    // the exact-refine oracle plans are sound ONLY if coverFromBox never
+    // loses a box point — fuzz boxes (incl. high-latitude, where the
+    // great-circle vs parallel divergence peaks) and interior points
+    val r = new scala.util.Random(7)
+    (1 to 40).foreach { _ =>
+      val lonMin = r.nextDouble() * 300 - 170
+      val lonMax = lonMin + 5 + r.nextDouble() * 40
+      val latMin = r.nextDouble() * 140 - 75
+      val latMax = math.min(80, latMin + 5 + r.nextDouble() * 35)
+      val cover = Cover.coverFromBox(lonMin, math.min(180, lonMax), latMin, latMax, 6)
+      val runs = Sid.mergedIntervals(cover)
+      (1 to 25).foreach { _ =>
+        val lat = latMin + r.nextDouble() * (latMax - latMin)
+        val lon = lonMin + r.nextDouble() * (math.min(180, lonMax) - lonMin)
+        val sid = Htm.latLonToSid(lat, lon, 26)
+        assert(Sid.intervalOverlaps(Sid.intervalLo(sid), Sid.intervalHi(sid), runs),
+          s"point ($lat, $lon) escaped cover of box [$lonMin,$lonMax]x[$latMin,$latMax]")
+      }
+    }
+    // the wrapped pacific region from SparkEntry
+    val pac = SparkEntry.region("pacific")
+    val cov = SparkEntry.regionCover(pac)
+    val runs = Sid.mergedIntervals(cov)
+    (1 to 50).foreach { i =>
+      val lat = pac.latMin + (i % 10) * (pac.latMax - pac.latMin) / 10.0
+      val lon = if (i % 2 == 0) 165.0 + (i % 15) else -180.0 + (i % 30)
+      if (lon >= 165 || lon <= -150) {
+        val sid = Htm.latLonToSid(lat, lon, 26)
+        assert(Sid.intervalOverlaps(Sid.intervalLo(sid), Sid.intervalHi(sid), runs),
+          s"pacific point ($lat, $lon) escaped")
+      }
+    }
+  }
+
   test("ellipse cover contains interior points and excludes far exterior points") {
     // 100 km x 40 km ellipse rotated 30deg ccw from east, centered mid-lat
     val (clat, clon) = (42.0, 7.0)

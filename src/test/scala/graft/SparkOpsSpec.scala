@@ -202,6 +202,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second1.headOption.map(_.getLong(0)).contains(4L))
   }
 
+  test("knn equals brute force on a random fixture") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val pts = (1 to 120).map(i =>
+      (i.toLong, r.nextDouble() * 160 - 80, r.nextDouble() * 360 - 180))
+    val df = pts.toDF("id", "lat", "lon")
+      .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+    val queries = df.filter(col("id") % 11 === 0)
+    val k = 4
+    val out = KnnJoin(queries, "id", "sid", "lat", "lon", df, "id", "sid", "lat", "lon",
+        k = k, initialDiameterDeg = 6.0, coverLevel = 8, maxRounds = 8)
+      .select(col("id"), col("id_nn"), col("nn_rank"))
+      .collect().map(row => (row.getLong(0), row.getInt(2)) -> row.getLong(1)).toMap
+    // brute force with the same formula and tie-break
+    def hav(a: (Double, Double), b: (Double, Double)): Double = {
+      val p1 = math.toRadians(a._1); val p2 = math.toRadians(b._1)
+      val x = math.pow(math.sin((p2 - p1) / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin(math.toRadians(b._2 - a._2) / 2), 2)
+      2 * math.asin(math.min(1.0, math.sqrt(x)))
+    }
+    val byId = pts.map(p => p._1 -> (p._2, p._3)).toMap
+    pts.filter(_._1 % 11 == 0).foreach { q =>
+      val expect = pts.sortBy(p => (hav(byId(q._1), (p._2, p._3)), p._1)).take(k).map(_._1)
+      expect.zipWithIndex.foreach { case (nn, i) =>
+        assert(out((q._1, i + 1)) === nn, s"query ${q._1} rank ${i + 1}")
+      }
+    }
+  }
+
   // --- text ops ---------------------------------------------------------
   test("minhash finds planted near-duplicates") {
     import spark.implicits._
