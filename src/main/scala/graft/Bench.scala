@@ -137,7 +137,8 @@ object Bench {
     import graft.functions.StareFunctions._
     val t0 = System.nanoTime()
     val indexed = pts.withColumn("sid", stareSid(col("lat"), col("lon"), 26))
-    graft.operators.StareJoin.pointJoin(indexed, "sid", covers, "sids", how = "inner")
+    graft.operators.StareJoin.pointJoin(indexed, "sid", covers, "sids", how = "inner",
+        knownMinLeftLevel = Some(26))
       .groupBy(col("region_name")).agg(count(lit(1))).collect()
     (System.nanoTime() - t0) / 1e9
   }

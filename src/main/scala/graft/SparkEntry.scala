@@ -84,7 +84,8 @@ object SparkEntry {
     * geotag -> STARE index -> cover join -> dissolve-count per region. */
   def entry(spark: SparkSession): DataFrame = {
     val docs = indexed(spark, "/root/testdata/sf0.001")
-    val joined = StareJoin.pointJoin(docs, "sid", coversDf(spark), "sids", how = "inner")
+    val joined = StareJoin.pointJoin(docs, "sid", coversDf(spark), "sids", how = "inner",
+      knownMinLeftLevel = Some(26))
     joined.groupBy(col("region_name")).agg(count(lit(1)).as("pages"))
   }
 
@@ -211,14 +212,16 @@ object SparkEntry {
       // cover join prunes (cover ⊇ box by construction), exact box test
       // decides — also the right plan at 100 TB
       val docs = indexed(s, dir)
-      StareJoin.pointJoin(docs, "sid", coversDf(s), "sids", how = "inner")
+      StareJoin.pointJoin(docs, "sid", coversDf(s), "sids", how = "inner",
+        knownMinLeftLevel = Some(26))
         .filter(refineMatched)
         .groupBy(col("region_name")).agg(count(lit(1)).as("pages"))
         .orderBy(col("region_name"))
     }),
     "q22_cover_join_left" -> ((s, dir) => {
       val docs = indexed(s, dir)
-      val joined = StareJoin.pointJoin(docs, "sid", coversDf(s), "sids", how = "left")
+      val joined = StareJoin.pointJoin(docs, "sid", coversDf(s), "sids", how = "left",
+        knownMinLeftLevel = Some(26))
       val refined = joined.filter(col("region_name").isNull || refineMatched)
       // docs whose every cover match failed the exact test re-enter as
       // unmatched — exact LEFT JOIN ON box-containment semantics

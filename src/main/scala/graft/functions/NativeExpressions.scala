@@ -19,6 +19,9 @@ case class StareSidExpression(first: Expression, second: Expression, third: Expr
   // inputs are cast at the builder (NativeExpressions); AbstractDataType
   // is private[sql], so ExpectsInputTypes is not usable from here
   override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true // null in -> null out: lets
+  // the optimizer rewrite IsNotNull(stare_sid(...)) to IsNotNull(inputs)
+  // instead of re-evaluating the encode in pushed null checks
   override def prettyName: String = "stare_sid"
 
   override protected def nullSafeEval(lat: Any, lon: Any, level: Any): Any =
@@ -36,6 +39,7 @@ case class StareSidExpression(first: Expression, second: Expression, third: Expr
   * clear; the fixed-level variant is pure bit-ops already). */
 case class StareClearExpression(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
   override def prettyName: String = "stare_clear"
 
   override protected def nullSafeEval(sid: Any): Any =
@@ -55,6 +59,7 @@ case class StareClearExpression(child: Expression) extends UnaryExpression {
 case class StareIntersectsCoverExpression(child: Expression, flatRuns: Array[Long])
   extends UnaryExpression {
   override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
   override def prettyName: String = "stare_intersects_cover"
 
   override protected def nullSafeEval(sid: Any): Any =
