@@ -40,9 +40,6 @@ object StareJoin {
       .select(stareLevel(col("s")).as("l"))
       .distinct().collect().map(_.getLong(0).toInt).sorted
 
-  private def scalarLevels(df: DataFrame, sid: Column): Array[Int] =
-    df.select(stareLevel(sid).as("l")).distinct().collect().map(_.getLong(0).toInt).sorted
-
   /** normalized key of a sid at its own (statically known) level. */
   private def normKey(sid: Column, level: Int): Column = stareClearTo(sid, level)
 
