@@ -85,4 +85,11 @@ object NativeExpressions {
 
   def stareIntersectsCoverNative(sid: Column, flatRuns: Array[Long]): Column =
     shim.column(StareIntersectsCoverExpression(shim.expression(sid.cast("long")), flatRuns))
+
+  /** Planner hint: this column is never null (e.g. a join key derived
+    * from an indexed, non-null sid). Stops InferFiltersFromConstraints
+    * from adding an IsNotNull(key) filter that re-evaluates the whole
+    * key expression — one extra encode per row in the headline join. */
+  def knownNotNull(c: Column): Column =
+    shim.column(org.apache.spark.sql.catalyst.expressions.KnownNotNull(shim.expression(c)))
 }

@@ -127,29 +127,47 @@ object StareJoin {
     // well under executor broadcast comfort, and the single-probe plan
     // it buys beats the multi-level explode by ~2x at high core counts
     if (expansionCost <= 4 * 1024 * 1024) {
+      // The dictionary carries the right ROW COLUMNS directly (suffixed
+      // up front), so the probe is the ONLY pass over the big side —
+      // routing just row ids and re-joining in assemble() cost a second
+      // full broadcast-probe over every left row.
+      val leftCols = left.columns
+      val rightCols = rightRows.columns.filter(_ != "key_right")
+      val clash = leftCols.toSet.intersect(rightCols.toSet)
+      val l = clash.foldLeft(left)((df, c) => df.withColumnRenamed(c, c + "_left"))
+      val r = clash.foldLeft(rightRows)((df, c) => df.withColumnRenamed(c, c + "_right"))
+      val leftSidCol = if (clash.contains(leftSid)) leftSid + "_left" else leftSid
+      val rightSidsCol = if (clash.contains(rightSids)) rightSids + "_right" else rightSids
       val expandAll = udf((sids: Seq[Long]) => Sid.expandToLevel(sids.toArray, maxLevel))
-      val rightUniform = rightRows
-        .select(col("key_right").as("__rid"), explode(expandAll(stareCompress(col(rightSids)))).as(RKey))
+      val rightUniform = r.withColumn(RKey, explode(expandAll(stareCompress(col(rightSidsCol)))))
       // precondition of this plan: left sids are at least as fine as the
       // finest cover cell (true for point tables at level 26/27 vs
       // polygon covers; coarser left sids should use join() instead).
       // Coarser rows get a null key => no match, never a wrong match.
       // With a known-fine left the guard drops at plan time (one encode
       // evaluation per row instead of three — see method doc).
+      // knownMinLeftLevel also implies non-null sids (an indexed table),
+      // so the key is marked KnownNotNull: without it the planner infers
+      // an IsNotNull(key) filter that re-evaluates the key expression —
+      // i.e. a second encode per row when sid is an unevaluated encode.
       val leftKeyed = knownMinLeftLevel match {
         case Some(ml) if ml >= maxLevel =>
-          left.withColumn(LKey, stareClearTo(col(leftSid), maxLevel))
-        case _ => left.withColumn(LKey,
-          when(stareLevel(col(leftSid)) >= maxLevel, stareClearTo(col(leftSid), maxLevel)))
+          l.withColumn(LKey, graft.functions.NativeExpressions.knownNotNull(
+            stareClearTo(col(leftSidCol), maxLevel)))
+        case _ => l.withColumn(LKey,
+          when(stareLevel(col(leftSidCol)) >= maxLevel, stareClearTo(col(leftSidCol), maxLevel)))
       }
       val joinType = if (how == "inner") "inner" else "left"
       // NOTE: for how='left' a point matching nothing keeps one row with
-      // null __rid — exactly stare_join's left semantics, no key filter
-      // needed because there is a single key per row.
-      val joined = leftKeyed
+      // all-null right columns — exactly stare_join's left semantics, no
+      // key filter needed because there is a single key per row.
+      val out = leftKeyed
         .join(broadcast(rightUniform), col(LKey) === col(RKey), joinType)
         .drop(LKey, RKey)
-      return assemble(joined, rightRows, how, broadcastRight = true)
+      // column order: left columns, key_right, right columns (test_join.py:77-81)
+      val ordered = l.columns.filter(c => c != LKey).map(out(_)) ++
+        Array(out("key_right")) ++ r.columns.filter(_ != "key_right").map(out(_))
+      return out.select(ordered.toIndexedSeq: _*)
     }
 
     val joined = if (how == "inner") {
