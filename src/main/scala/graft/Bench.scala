@@ -66,7 +66,7 @@ object Bench {
     * level-6 city cell; time the shuffle-path cover join without and
     * with exact hot-cell splitting (Skew.splitHotCells). Row counts are
     * asserted identical — splitting is a pure re-keying. */
-  def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 4000000L): (Double, Double, Long) = {
+  def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 2000000L): (Double, Double, Long) = {
     import graft.functions.StareFunctions._
     val pts = spark.range(n)
       .withColumn("hot", col("id") % 10 > 0)
