@@ -47,7 +47,7 @@ object Bench {
     System.err.println(f"[bench] join_throughput: $joinRows rows in $joinSec%.2f s = ${joinRows / joinSec}%.0f rows/s")
 
     // skew evidence (north rule: hot cells must not melt a reducer):
-    // shuffle-path join over a HALF-in-one-city distribution, with and
+    // shuffle-path join over a 90%-in-one-city distribution, with and
     // without exact hot-cell splitting
     spark.catalog.clearCache()
     val (skewBase, skewSplit, skewRows) = skewThroughput(spark, sfDir)
@@ -62,10 +62,10 @@ object Bench {
     spark.stop()
   }
 
-  /** Skewed shuffle-join measurement: half the points pile into one
-    * level-6 city cell; time the shuffle-path cover join without and
+  /** Skewed shuffle-join measurement: 90% of the points pile into one
+    * ~1.4° city cell; time the shuffle-path cover join without and
     * with exact hot-cell splitting (Skew.splitHotCells). Row counts are
-    * asserted identical — splitting is a pure re-keying. */
+    * compared — splitting is a pure re-keying. */
   def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 2000000L): (Double, Double, Long) = {
     import graft.functions.StareFunctions._
     val pts = spark.range(n)
