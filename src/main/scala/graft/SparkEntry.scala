@@ -519,7 +519,7 @@ object SparkEntry {
            |FROM $ptsSql LEFT JOIN $boxesSql ON $boxPredSql
            |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q23_dissolve" ->
-        """SELECT lang, sum(doc_id) AS doc_id_sum, count(*) AS n_docs, true AS dissolve_exact
+        """SELECT lang, sum(doc_id)::BIGINT AS doc_id_sum, count(*) AS n_docs, true AS dissolve_exact
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q24_speedy_subset" ->
         s"""SELECT doc_id, round(lat, 4) AS lat_r, round(lon, 4) AS lon_r

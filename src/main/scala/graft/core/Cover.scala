@@ -194,11 +194,25 @@ object Cover {
     * cover ⊇ box (the exact-refine join plan: the STARE cover prunes,
     * the exact box predicate decides — no false negatives possible).
     * The box must not cross the antimeridian (split it first); latitudes
-    * are clamped away from the poles after inflation. */
+    * are clamped away from the poles after inflation, and whenever the
+    * clamp engages (box reaches within marginDeg of 89.5°) a polar-cap
+    * cover is unioned in so the superset guarantee holds all the way to
+    * ±90° — without it, points above the clamped ring would be silently
+    * lost by exact-refine joins. */
   def coverFromBox(lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
                    level: Int, marginDeg: Double = 2.0, stepDeg: Double = 4.0): Array[Long] = {
     val lo0 = lonMin - marginDeg; val lo1 = lonMax + marginDeg
     val la0 = math.max(-89.5, latMin - marginDeg); val la1 = math.min(89.5, latMax + marginDeg)
+    // cap radius reaches marginDeg below the clamped ring latitude, so the
+    // cap and the densified polygon overlap — no gap from great-circle sag
+    val northCap: Array[Long] =
+      if (latMax + marginDeg > 89.5)
+        cover(new CapRegion(Array(0.0, 0.0, 1.0), math.toRadians(90.0 - 89.5 + marginDeg)), level)
+      else Array.emptyLongArray
+    val southCap: Array[Long] =
+      if (latMin - marginDeg < -89.5)
+        cover(new CapRegion(Array(0.0, 0.0, -1.0), math.toRadians(90.0 - 89.5 + marginDeg)), level)
+      else Array.emptyLongArray
     val lons = new ArrayBuffer[Double](); val lats = new ArrayBuffer[Double]()
     def seg(fromLon: Double, toLon: Double, fromLat: Double, toLat: Double): Unit = {
       val span = math.max(math.abs(toLon - fromLon), math.abs(toLat - fromLat))
@@ -214,7 +228,9 @@ object Cover {
     seg(lo0, lo1, la0, la0); seg(lo1, lo1, la0, la1)
     seg(lo1, lo0, la1, la1); seg(lo0, lo0, la1, la0)
     lons += lo0; lats += la0
-    coverFromPolygon(Array((lons.toArray, lats.toArray)), level, forceCcw = true)
+    val box = coverFromPolygon(Array((lons.toArray, lats.toArray)), level, forceCcw = true)
+    if (northCap.isEmpty && southCap.isEmpty) box
+    else Sid.compress(box ++ northCap ++ southCap)
   }
 
   /** Elliptical cover (make_ellipse_sids, reference io/granules/modis.py

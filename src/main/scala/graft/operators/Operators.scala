@@ -144,7 +144,11 @@ object KnnJoin {
       // at level 26) rather than the exact query point
       val capRad = math.toRadians(math.min(capDeg, 360.0) / 2) - 1e-6
       val isLast = round == maxRounds - 1
-      sphereCovered = capRad >= math.Pi // whole sphere: nothing beyond it
+      // whole sphere: radius 180° caps cover everything, so this round's
+      // candidate set is complete for every remaining query and the loop
+      // can stop (checked on capDeg BEFORE the center-offset margin is
+      // subtracted — capRad carries a -1e-6 that would keep this false)
+      sphereCovered = capDeg >= 360.0
       val complete = (
         if (isLast || sphereCovered) candidates
         else candidates.withColumn("__kth", max(when(col("nn_rank") === k, col("dist_rad")))

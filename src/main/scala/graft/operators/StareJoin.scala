@@ -79,17 +79,27 @@ object StareJoin {
     * null-check, evaluating the kernel up to 3x per row (measured ~2x
     * headline join throughput). */
   def pointJoin(left: DataFrame, leftSid: String, right: DataFrame, rightSids: String,
-                how: String = "left", knownMinLeftLevel: Option[Int] = None): DataFrame = {
-    // The cover side must fit in a broadcast by design, so assign row ids
+                how: String = "left", knownMinLeftLevel: Option[Int] = None,
+                maxBroadcastRows: Int = 1 << 20): DataFrame = {
+    // Guard the by-design assumption instead of trusting the caller: the
+    // cover side is about to be collect()ed to the driver, and a caller
+    // passing a big frame would OOM the driver. limit+count is one tiny
+    // job (limit pushes into the scan); over the cap we delegate to the
+    // shuffle-path join, which shares the output contract.
+    if (right.limit(maxBroadcastRows + 1).count() > maxBroadcastRows)
+      return Skew.shuffleJoin(left, leftSid, right, rightSids, splitHot = None,
+        how = how, knownMinLeftLevel = knownMinLeftLevel)
+    // The cover side fits in a broadcast, so assign row ids
     // on the driver: deterministic across every reuse of the frame (no
     // monotonically_increasing_id re-evaluation hazard) and no lingering
     // persist() that pressures the executor cache across queries.
     val spark = left.sparkSession
+    val collected = right.collect()
     val rightRows = {
       val schema = org.apache.spark.sql.types.StructType(
         right.schema.fields :+ org.apache.spark.sql.types.StructField("key_right", org.apache.spark.sql.types.LongType, nullable = false))
       val rows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(right.collect().zipWithIndex.map { case (r, i) =>
+        java.util.Arrays.asList(collected.zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong)
         }: _*)
       spark.createDataFrame(rows, schema)
@@ -123,10 +133,16 @@ object StareJoin {
     // multiplicity is unchanged.
     val maxLevel = levels.last
     val expansionCost = keySet.iterator.map(k => 1L << (2 * (maxLevel - Sid.level(k)))).sum
-    // budget = broadcast-side row count: 4M (rid, key) rows ~ 64 MB —
-    // well under executor broadcast comfort, and the single-probe plan
-    // it buys beats the multi-level explode by ~2x at high core counts
-    if (expansionCost <= 4 * 1024 * 1024) {
+    // budgets: row-count cap (4M keys ~ 64 MB as bare (rid, key) pairs)
+    // decides whether a uniform-level dictionary is viable at all; a
+    // BYTE cap on expansionCost x measured-row-width decides whether the
+    // dictionary can carry the full right rows (probe = the only pass
+    // over the big side) or only (rid, key) pairs + a re-join — a fat
+    // cover side (wide payload columns, big sid arrays) duplicated per
+    // expanded cell would otherwise build a multi-GB broadcast.
+    val rowBytes = approxRowBytes(collected)
+    val fullRowDictBytes = expansionCost * rowBytes
+    if (expansionCost <= 4 * 1024 * 1024 && fullRowDictBytes <= 256L * 1024 * 1024) {
       // The dictionary carries the right ROW COLUMNS directly (suffixed
       // up front), so the probe is the ONLY pass over the big side —
       // routing just row ids and re-joining in assemble() cost a second
@@ -169,6 +185,27 @@ object StareJoin {
         Array(out("key_right")) ++ r.columns.filter(_ != "key_right").map(out(_))
       return out.select(ordered.toIndexedSeq: _*)
     }
+    if (expansionCost <= 4 * 1024 * 1024) {
+      // Slim dictionary: same single-probe key plan, but the broadcast
+      // carries only (rid, key) pairs; the right row columns re-attach in
+      // assemble() via a second (cheap — the dictionary already filtered)
+      // broadcast join. Chosen when the full-row dictionary would blow
+      // the byte budget (fat right rows x expansion).
+      val expandAll = udf((sids: Seq[Long]) => Sid.expandToLevel(sids.toArray, maxLevel))
+      val slim = rightRows.select(col("key_right").as("__rid"),
+        explode(expandAll(stareCompress(col(rightSids)))).as(RKey))
+      val leftKeyed = knownMinLeftLevel match {
+        case Some(ml) if ml >= maxLevel =>
+          left.withColumn(LKey, graft.functions.NativeExpressions.knownNotNull(
+            stareClearTo(col(leftSid), maxLevel)))
+        case _ => left.withColumn(LKey,
+          when(stareLevel(col(leftSid)) >= maxLevel, stareClearTo(col(leftSid), maxLevel)))
+      }
+      val joinType = if (how == "inner") "inner" else "left"
+      val joined = leftKeyed.join(broadcast(slim), col(LKey) === col(RKey), joinType)
+        .drop(LKey, RKey)
+      return assemble(joined, rightRows, how, broadcastRight = true)
+    }
 
     val joined = if (how == "inner") {
       // hot path: pure-native explode of the ancestor keys (one CASE+bit
@@ -194,6 +231,24 @@ object StareJoin {
     }
 
     assemble(joined, rightRows, how, broadcastRight = true)
+  }
+
+  /** Rough in-memory width of a collected row (bytes) — drives the
+    * dictionary-plan byte budget. Samples <= ~100 rows evenly. */
+  private def approxRowBytes(rows: Array[org.apache.spark.sql.Row]): Long = {
+    if (rows.isEmpty) return 16L
+    def sz(v: Any): Long = v match {
+      case null          => 8L
+      case s: String     => 40L + 2L * s.length
+      case a: Seq[_]     => 40L + a.iterator.map(sz).sum
+      case a: Array[_]   => 40L + a.iterator.map(sz).sum
+      case m: Map[_, _]  => 48L + m.iterator.map { case (k, w) => sz(k) + sz(w) }.sum
+      case r: org.apache.spark.sql.Row => 16L + r.toSeq.iterator.map(sz).sum
+      case _             => 8L
+    }
+    val step = math.max(1, rows.length / 100)
+    val sampled = rows.indices.by(step).map(rows(_))
+    math.max(16L, sampled.iterator.map(r => 16L + r.toSeq.iterator.map(sz).sum).sum / sampled.length)
   }
 
   /** Stable, deterministic row ids via zipWithIndex: unlike

@@ -199,6 +199,83 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("pointJoin guards the driver collect: over-cap right side delegates to shuffleJoin") {
+    import spark.implicits._
+    val pts = ((1 to 200).map(i => (i.toLong, 10.0 + (i % 40) * 0.02, 10.0 + (i / 40) * 0.02)) :+
+      ((9999L, 60.0, -170.0)))
+      .toDF("id", "lat", "lon")
+      .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+    val covers = Seq(
+      ("hot", graft.core.Cover.coverFromBox(8.0, 12.0, 8.0, 12.0, 6).toSeq),
+      ("cold", graft.core.Cover.coverFromBox(99.0, 130.0, -31.0, -5.0, 6).toSeq),
+      ("other", graft.core.Cover.coverFromBox(-60.0, -50.0, -10.0, 0.0, 6).toSeq)
+    ).toDF("region", "sids")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "region").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("__null"))).toSet
+    for (how <- Seq("inner", "left")) {
+      val direct = graft.operators.StareJoin.pointJoin(pts, "sid", covers, "sids", how = how)
+      // cap of 2 rows < 3 cover rows: must take the shuffle path, never collect()
+      val guarded = graft.operators.StareJoin.pointJoin(pts, "sid", covers, "sids", how = how,
+        maxBroadcastRows = 2)
+      assert(guarded.columns.toSeq === direct.columns.toSeq, s"contract drift for how=$how")
+      assert(pairs(guarded) === pairs(direct), s"result drift for how=$how")
+    }
+  }
+
+  test("fat cover rows pick the slim dictionary plan and keep results + contract") {
+    import spark.implicits._
+    val pts = ((1 to 300).map(i => (i.toLong, 10.0 + (i % 40) * 0.02, 10.0 + (i / 40) * 0.02)) :+
+      ((9999L, 60.0, -170.0)))
+      .toDF("id", "lat", "lon")
+      .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+    // ~16 MB per row: expansionCost x rowBytes blows the 256 MB full-row
+    // dictionary budget even for a handful of cover cells, forcing the
+    // slim (rid, key) + re-join plan
+    val fat = "x" * 8000000
+    val covers = Seq(
+      ("hot", graft.core.Cover.coverFromBox(8.0, 12.0, 8.0, 12.0, 6).toSeq, fat),
+      ("cold", graft.core.Cover.coverFromBox(99.0, 130.0, -31.0, -5.0, 6).toSeq, fat)
+    ).toDF("region", "sids", "payload")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "region").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("__null"))).toSet
+    for (how <- Seq("inner", "left")) {
+      val viaSlim = graft.operators.StareJoin.pointJoin(pts, "sid", covers, "sids", how = how,
+        knownMinLeftLevel = Some(26))
+      val viaShuffle = graft.operators.Skew.shuffleJoin(pts, "sid", covers, "sids", how = how,
+        knownMinLeftLevel = Some(26))
+      assert(viaSlim.columns.toSeq === viaShuffle.columns.toSeq)
+      assert(pairs(viaSlim) === pairs(viaShuffle), s"slim-plan drift for how=$how")
+      // right payload columns still attached after the re-join
+      val withPayload = viaSlim.filter(col("region") === "hot").select("payload").collect()
+      assert(withPayload.nonEmpty && withPayload.forall(_.getString(0) == fat))
+    }
+  }
+
+  test("near-polar box covers keep the superset guarantee up to the poles") {
+    // boxes whose inflated latitude would clamp at 89.5: a polar cap must
+    // be unioned in, so points all the way to +/-90 still intersect
+    val north = Cover.coverFromBox(0.0, 40.0, 85.0, 90.0, 6)
+    val runsN = Sid.mergedIntervals(north)
+    for (lat <- Seq(85.5, 88.0, 89.4, 89.7, 89.95, 90.0); lon <- Seq(0.0, 13.0, 39.9)) {
+      val sid = Htm.latLonToSid(lat, lon, 26)
+      assert(Sid.intervalOverlaps(Sid.intervalLo(sid), Sid.intervalHi(sid), runsN),
+        s"north point ($lat, $lon) escaped polar box cover")
+    }
+    val south = Cover.coverFromBox(-120.0, -60.0, -90.0, -86.0, 6)
+    val runsS = Sid.mergedIntervals(south)
+    for (lat <- Seq(-86.5, -89.6, -89.99, -90.0); lon <- Seq(-119.0, -90.0, -61.0)) {
+      val sid = Htm.latLonToSid(lat, lon, 26)
+      assert(Sid.intervalOverlaps(Sid.intervalLo(sid), Sid.intervalHi(sid), runsS),
+        s"south point ($lat, $lon) escaped polar box cover")
+    }
+    // a mid-latitude box must NOT pay for a polar cap (cover unchanged
+    // by the fix): no level<=1 pole-touching cells sneak in
+    val mid = Cover.coverFromBox(0.0, 40.0, 20.0, 50.0, 6)
+    assert(mid.forall(s => Sid.level(s) >= 2))
+  }
+
   test("speedy-subset filter stays in whole-stage codegen (no ScalaUDF)") {
     val r = SparkEntry.region("europe_c")
     val cover = SparkEntry.regionCover(r)
