@@ -40,6 +40,13 @@ object SparkEntry {
 
   private[graft] def region(name: String): Region = regions.find(_.name == name).get
 
+  /** Per-JVM lineage nonce: verify/bench runs must do a REAL pods write
+    * (a constant lineage id made round-2's bench time a resume no-op on
+    * the previous attempt's committed store and call it a write). Stable
+    * within one JVM, fresh across runs; the resume machinery itself is
+    * exercised explicitly by Bench.podsWriteResume and the pods specs. */
+  private val runNonce: String = java.lang.Long.toHexString(System.nanoTime())
+
   /** Inflated + densified box cover: guaranteed superset of the box
     * (Cover.coverFromBox doc), so the cover join can only over-match —
     * never lose a row — before the exact refine. Memoized: the driver-
@@ -286,7 +293,7 @@ object SparkEntry {
       // pod/chunk granularity sized so partition-dir count stays sane at
       // bench scale (every (pod, chunk) pair is a directory + file);
       // production pods would carry GBs per directory at the same levels
-      Pods.write(docs, out, "sid", podLevel = 2, lineageId = s"verify-r2-$dir",
+      Pods.write(docs, out, "sid", podLevel = 2, lineageId = s"verify-$runNonce-$dir",
         tsCol = Some("warc_ts"), chunkMs = 2L * 86400000L)
       val r = region("europe_c")
       val t0 = 1700000600L; val t1 = 1700020000L
@@ -317,7 +324,7 @@ object SparkEntry {
       // catalog/data divergence makes total_rows diverge from the oracle
       val out = s"/tmp/graft_podcat_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
       val docs = indexed(s, dir).select(col("doc_id"), col("sid"))
-      Pods.write(docs, out, "sid", podLevel = 2, lineageId = s"cat-r2-$dir")
+      Pods.write(docs, out, "sid", podLevel = 2, lineageId = s"cat-$runNonce-$dir")
       Pods.catalog(s, out)
         .agg(sum(col("rowCount")).as("total_rows"),
           countDistinct(col("lineageId")).as("n_lineages"))

@@ -33,8 +33,10 @@ object Skew {
 
   /** `keptLevels` = levels of cells kept whole (probed unconditionally);
     * split-child levels NOT in keptLevels are probed only under their
-    * parent's gate. */
-  final case class SplitResult(right: DataFrame, parents: Seq[SplitParent], keptLevels: Array[Int])
+    * parent's gate. `skipReason` is set when the cost gate decided
+    * splitting cannot win (right is returned unchanged, parents empty). */
+  final case class SplitResult(right: DataFrame, parents: Seq[SplitParent],
+                               keptLevels: Array[Int], skipReason: Option[String] = None)
 
   /** Estimate per-cell point counts from a sample of the left side and
     * split cells whose projected population exceeds `maxRowsPerCell`
@@ -71,6 +73,42 @@ object Skew {
     val counts = keyed.filter(isCell(col("k"))).groupBy("k").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val scale = 1.0 / sampleFraction
+
+    // ---- cost gate: engage splitting only when it can actually win ----
+    // (round-2 lesson: at bench scale the split demonstration LOST — the
+    // rewrite is pure overhead whenever no reducer melts in the first
+    // place). All inputs to the decision are already on the driver.
+    def skip(reason: String): SplitResult = {
+      System.err.println(s"[skew] split skipped: no projected win — $reason")
+      SplitResult(right, Seq.empty, levels, Some(reason))
+    }
+    val conf = left.sparkSession.conf
+    // (1) a cover-key side under the broadcast threshold never shuffles
+    // the point side by key: there is no reducer to melt. ~32 B per
+    // exploded (rid, key) pair mirrors Catalyst's sizing order.
+    val bcastThreshold = {
+      val raw = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+      try { if (raw.startsWith("-")) -1L
+            else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw) }
+      catch { case _: Exception => 10485760L }
+    }
+    if (bcastThreshold > 0 && cells.length.toLong * 32 <= bcastThreshold)
+      return skip(s"cover side (~${cells.length} cells) fits the broadcast " +
+        "threshold; the join has no per-key shuffle")
+    // (2) the hottest cell must exceed the per-cell cap AND dominate a
+    // fair reducer share by enough to beat the re-key overhead: a key
+    // within ~2x the average reducer load doesn't bound the stage.
+    val estHot = counts.valuesIterator.maxOption.getOrElse(0L) * scale
+    val estTotal = counts.valuesIterator.sum * scale
+    val shufflePartitions =
+      try conf.get("spark.sql.shuffle.partitions", "200").toInt catch { case _: Exception => 200 }
+    val fairShare = estTotal / math.max(1, shufflePartitions)
+    if (estHot <= maxRowsPerCell)
+      return skip(f"hottest cell ~${estHot}%.0f rows <= maxRowsPerCell=$maxRowsPerCell")
+    if (estHot <= 2.0 * fairShare)
+      return skip(f"hottest cell ~${estHot}%.0f rows is within 2x the fair " +
+        f"reducer share (~$fairShare%.0f of ~$estTotal%.0f matched rows over " +
+        f"$shufflePartitions partitions); reducers are already balanced")
 
     // the split plan, fully decided on the driver
     def split(cell: Long, estRows: Double, extra: Int): Seq[Long] = {
@@ -128,13 +166,16 @@ object Skew {
       .map(t => splitHotCellsWithSpec(left, leftSid, rightRows, rightSids, t,
         knownMinLeftLevel = knownMinLeftLevel))
     val rKeySource = splitRes.map(_.right).getOrElse(rightRows)
+    // did the rewrite actually run, or did the cost gate skip it?
+    val splitApplied = splitRes.exists(_.skipReason.isEmpty)
     // CRITICAL: a split cover must NOT be re-compressed — compress
     // canonically merges the four split siblings straight back into the
     // hot parent, silently undoing the split (round-1 latent bug: the
     // old code compressed unconditionally, so splitting never actually
     // reached the join keys). The rewrite UDF already compresses its
-    // input and emits normalized disjoint cells.
-    val cellsCol = if (splitRes.isDefined) col(rightSids) else stareCompress(col(rightSids))
+    // input and emits normalized disjoint cells. A gate-skipped cover is
+    // untouched and still needs the canonical compress.
+    val cellsCol = if (splitApplied) col(rightSids) else stareCompress(col(rightSids))
     val rightKeyed = rKeySource
       .select(col("key_right").as("__rid"), explode(cellsCol).as("__rs"))
       .withColumn("__rk", stareClearToOwn(col("__rs")))

@@ -157,11 +157,21 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Array((Array(99.0, 130.0, 130.0, 99.0, 99.0), Array(-31.0, -31.0, -5.0, -5.0, -31.0))), 6, forceCcw = true).toSeq)
     ).toDF("region", "sids")
 
+    // under the DEFAULT broadcast threshold the cost gate must refuse to
+    // split (a broadcastable cover side never melts a reducer)...
+    val gated = graft.operators.Skew.splitHotCellsWithSpec(pts, "sid", covers, "sids",
+      maxRowsPerCell = 100, sampleFraction = 0.5)
+    assert(gated.skipReason.isDefined && gated.parents.isEmpty)
+    // ...so force the shuffle regime (a cover side beyond broadcast
+    // comfort) for the mechanism tests below
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     // the split spec must be non-trivial: real parents, strictly deeper
     // children (guards the round-1 regression where re-compression
     // silently undid every split before the join keys)
     val spec = graft.operators.Skew.splitHotCellsWithSpec(pts, "sid", covers, "sids",
       maxRowsPerCell = 100, sampleFraction = 0.5)
+    assert(spec.skipReason.isEmpty)
     assert(spec.parents.nonEmpty)
     assert(spec.parents.forall(p => p.childLevels.forall(_ > p.level)))
 
@@ -197,6 +207,33 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leftSetOf(shuffleLeft).contains((90000L, "__null")))
     // nothing left cached behind either join
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("skew cost gate: a gate-skipped split run equals no-split exactly") {
+    import spark.implicits._
+    // balanced points (no hot cell): even in the forced-shuffle regime the
+    // gate must refuse (hottest cell within the fair reducer share) and
+    // the splitHot run must still produce the exact no-split results
+    val pts = (1 to 800).map(i => (i.toLong, -30.0 + (i % 115) * 0.5, 60.0 + (i / 19) * 0.9))
+      .toDF("id", "lat", "lon")
+      .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+    val covers = Seq(
+      ("wide", graft.core.Cover.coverFromBox(58.0, 104.0, -32.0, 30.0, 6).toSeq)
+    ).toDF("region", "sids")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val spec = graft.operators.Skew.splitHotCellsWithSpec(pts, "sid", covers, "sids",
+        maxRowsPerCell = 10000, sampleFraction = 1.0)
+      assert(spec.skipReason.isDefined, "balanced input must not engage splitting")
+      val base = graft.operators.Skew.shuffleJoin(pts, "sid", covers, "sids")
+        .select("id", "region").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val viaGate = graft.operators.Skew.shuffleJoin(pts, "sid", covers, "sids",
+        splitHot = Some(10000L))
+        .select("id", "region").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(viaGate === base)
+      assert(base.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
   test("pointJoin guards the driver collect: over-cap right side delegates to shuffleJoin") {
