@@ -145,6 +145,20 @@ object Geo {
     a / 2
   }
 
+  private final val PoleLatEps = 1e-7
+
+  /** Does the great-circle edge between two ring vertices cross the
+    * antimeridian? The edge sweeps the SHORT longitude way between its
+    * endpoints, which wraps through +/-180 exactly when the raw delta
+    * exceeds 180. Edges to/from a pole vertex are meridians and never
+    * cross (a pole vertex's longitude is a numerical artifact — atan2 of
+    * a zero vector — so a delta against it is meaningless; the round-2
+    * `max(lon)-min(lon) > 180` trigger misfired on exactly those). */
+  private def edgeCrosses(lon1: Double, lat1: Double,
+                          lon2: Double, lat2: Double): Boolean =
+    math.abs(lat1) < 90 - PoleLatEps && math.abs(lat2) < 90 - PoleLatEps &&
+      math.abs(lon2 - lon1) > 180
+
   /** Split polygons straddling the antimeridian: same semantics as the
     * reference (trixel_conversions.py:598-649), which wraps the crossing
     * ring's vertices, intersects with the [-180,180] bbox (inside part)
@@ -153,21 +167,51 @@ object Geo {
     * exactly one piece — equivalent to clipping the shifted ring at the
     * 180 meridian, which is what this does: emit 1..2 rings with all
     * lons in [-180, 180]. `drop=true` mirrors the reference's option of
-    * dropping seam-crossing trixels instead of splitting them. */
+    * dropping seam-crossing trixels instead of splitting them.
+    *
+    * Splitting triggers on an ACTUAL seam crossing of some edge (see
+    * edgeCrosses), not on total lon span: a polar trixel legitimately
+    * spans wide longitudes without crossing. When a crossing ring has a
+    * pole vertex, that vertex is first expanded into two pole-latitude
+    * points carrying its neighbours' longitudes, so the planar clip sees
+    * the true meridian edges instead of a spurious sweep through the
+    * artifact longitude. */
   def splitAntimeridian(lons: Array[Double], lats: Array[Double],
                         drop: Boolean = false): Array[(Array[Double], Array[Double])] = {
-    val maxL = lons.max; val minL = lons.min
-    if (maxL - minL <= 180) return Array((lons, lats))
+    val n0 = lons.length
+    val crossing = (0 until n0).exists { i =>
+      val j = (i + 1) % n0
+      edgeCrosses(lons(i), lats(i), lons(j), lats(j))
+    }
+    if (!crossing) return Array((lons, lats))
     if (drop) return Array.empty
+    // pole-vertex expansion (only needed on the split path)
+    val (exLons, exLats) = {
+      if (!lats.exists(la => math.abs(la) >= 90 - PoleLatEps)) (lons, lats)
+      else {
+        val ls = new ArrayBuffer[Double](); val as = new ArrayBuffer[Double]()
+        var i = 0
+        while (i < n0) {
+          if (math.abs(lats(i)) >= 90 - PoleLatEps) {
+            val prev = (i + n0 - 1) % n0; val next = (i + 1) % n0
+            ls += lons(prev); as += lats(i)
+            ls += lons(next); as += lats(i)
+          } else { ls += lons(i); as += lats(i) }
+          i += 1
+        }
+        (ls.toArray, as.toArray)
+      }
+    }
+    val lats2 = exLats
     // shift negative lons +360, clip at 180, producing east part and west part
-    val shifted = lons.map(l => if (l < 0) l + 360 else l)
+    val shifted = exLons.map(l => if (l < 0) l + 360 else l)
     def clip(lo: Double, hi: Double): (Array[Double], Array[Double]) = {
       val xs = new ArrayBuffer[Double](); val ys = new ArrayBuffer[Double]()
       val n = shifted.length
       var i = 0
       while (i < n) {
         val j = (i + 1) % n
-        val x1 = shifted(i); val y1 = lats(i); val x2 = shifted(j); val y2 = lats(j)
+        val x1 = shifted(i); val y1 = lats2(i); val x2 = shifted(j); val y2 = lats2(j)
         val in1 = x1 >= lo && x1 <= hi; val in2 = x2 >= lo && x2 <= hi
         if (in1) { xs += x1; ys += y1 }
         if (in1 != in2) {

@@ -175,6 +175,64 @@ class CoreGoldenSpec extends AnyFunSuite {
     assert(!Geo.isCcw(sp._2, sp._1))
   }
 
+  // --- antimeridian splitting (trixel_conversions.py:562-649) ---------
+  test("splitAntimeridian: seam trigger, polar wide-span rings, pole-vertex expansion") {
+    // fiji-style seam crosser: split into east + west, lons in range
+    val fiji = Geo.splitAntimeridian(Array(179.0, -179.0, 179.5), Array(-17.0, -17.0, -16.0))
+    assert(fiji.length === 2)
+    assert(fiji.forall { case (lo, la) =>
+      lo.length >= 3 && lo.forall(l => l >= -180 && l <= 180) && la.forall(l => l >= -18 && l <= -15) })
+    assert(fiji.exists(_._1.forall(_ >= 179.0)) && fiji.exists(_._1.forall(_ <= -179.0)))
+
+    // round-2 misfire: a polar trixel whose pole vertex carries an
+    // arbitrary artifact longitude spans >180 deg of lon WITHOUT any
+    // seam crossing (meridian edges at -60 and -120, base edge through
+    // -90) — must stay whole; the old max-min>180 trigger split it
+    val polar = Geo.splitAntimeridian(Array(139.7, -60.0, -120.0), Array(90.0, 85.0, 85.0))
+    assert(polar.length === 1)
+    assert(polar(0)._1 === Array(139.7, -60.0, -120.0))
+
+    // pole-vertex trixel that DOES cross: base edge 170 -> -170 wraps.
+    // The pole vertex (artifact lon 0) must expand into pole points on
+    // its neighbours' meridians, not sweep planar lon 0..170
+    val cross = Geo.splitAntimeridian(Array(0.0, 170.0, -170.0), Array(90.0, 85.0, 85.0))
+    assert(cross.length === 2)
+    val east = cross.find(_._1.forall(_ >= 0)).get
+    val west = cross.find(_._1.forall(_ <= 0)).get
+    assert(east._1.forall(l => l >= 170.0 && l <= 180.0), east._1.mkString(","))
+    assert(west._1.forall(l => l >= -180.0 && l <= -170.0), west._1.mkString(","))
+    assert((east._2 ++ west._2).forall(la => la >= 85.0 && la <= 90.0))
+    // both pieces reach the pole (the pole passage was preserved)
+    assert(east._2.max === 90.0 && west._2.max === 90.0)
+
+    // drop semantics follow the same trigger
+    assert(Geo.splitAntimeridian(Array(179.0, -179.0, 179.5), Array(-17.0, -17.0, -16.0),
+      drop = true).isEmpty)
+    assert(Geo.splitAntimeridian(Array(139.7, -60.0, -120.0), Array(90.0, 85.0, 85.0),
+      drop = true).length === 1)
+  }
+
+  test("trixelWkt of polar + seam trixels emits structurally valid multipolygons") {
+    // q26 emits WKT for arbitrary dissolved covers; face-root/level-1
+    // trixels touch the poles and deep cells near (+/-90, 180) cross the
+    // seam — every emitted ring must be closed, >= 4 points, in range
+    val sids = Array(
+      Htm.latLonToSid(89.9, 179.9, 2), Htm.latLonToSid(89.9, -179.9, 4),
+      Htm.latLonToSid(-89.9, 179.9, 3), Htm.latLonToSid(89.99, 1.0, 1),
+      Htm.latLonToSid(-17.0, 179.8, 9))
+    val wkt = graft.functions.StareFunctions.trixelWkt(sids)
+    assert(wkt.startsWith("MULTIPOLYGON ("))
+    val rings = "\\(\\(([^()]*)\\)\\)".r.findAllMatchIn(wkt).map(_.group(1)).toArray
+    assert(rings.length >= sids.length) // splits only add rings
+    rings.foreach { r =>
+      val pts = r.split(",").map(_.trim.split("\\s+").map(_.toDouble))
+      assert(pts.length >= 4, s"ring too short: $r")
+      assert(pts.head.sameElements(pts.last), s"ring not closed: $r")
+      assert(pts.forall(p => p(0) >= -180 && p(0) <= 180 && p(1) >= -90 && p(1) <= 90),
+        s"coordinate out of range: $r")
+    }
+  }
+
   // --- temporal index values (temporal_conversions.py:77-83) ----------
   test("tiv encode golden") {
     // 2021-09-03 00:00:00 UTC, 2021-07-17 11:16:00 UTC
