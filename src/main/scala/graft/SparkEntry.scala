@@ -160,13 +160,24 @@ object SparkEntry {
       // LSH candidates (12 bands x 3 rows: miss prob ~1e-12 at the
       // planted-dup Jaccard >= 0.95, candidate volume ~3.6e-3 of pairs),
       // then EXACT shingle-Jaccard refine — the output is the exact
-      // J>=0.5 pair set, which DuckDB recomputes by brute force
+      // J>=0.5 pair set, which DuckDB recomputes by brute force.
+      // Refine data motion: each doc is projected ONCE to its sorted
+      // distinct shingle-hash array; candidate pairs exchange those
+      // (8 B/shingle) instead of shipping the full text twice and
+      // re-shingling both sides per pair.
       val d = s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
       val cands = TextOps.minhashCandidates(d)
-      val ta = d.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
-      val tb = d.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
-      cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
-        .withColumn("jaccard", TextOps.shingleJaccard(col("__ta"), col("__tb")))
+      // only docs that appear in a candidate pair need the projection
+      // (cands is materialized + broadcastable, so the semi-join prunes
+      // the shingle pass to the candidate set)
+      val ids = cands.select(col("doc_a").as("doc_id"))
+        .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = d.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("__sh"))
+      val sa = sh.select(col("doc_id").as("doc_a"), col("__sh").as("__sa"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("__sh").as("__sb"))
+      cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .withColumn("jaccard", TextOps.hashedJaccard(col("__sa"), col("__sb")))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))

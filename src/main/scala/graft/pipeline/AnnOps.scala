@@ -109,22 +109,41 @@ object AnnOps {
     // scan and the pair join read them once, then materialize the
     // (small) pair result and release the cache — nothing expensive is
     // recomputed when the caller consumes the returned frame.
-    val banded0 = emb.select(col(idCol), col(vecCol),
+    //
+    // Data-motion shape (round-3 trim): the banded frame carries ONLY
+    // (id, band, sig) — 24 bytes/row — so the bucket-join shuffle and
+    // the pair dedup never move the vectors (previously every candidate
+    // pair shipped BOTH embeddings through the join AND the distinct,
+    // and the dedup even hashed the arrays as shuffle keys). Vectors
+    // re-attach once per side of the DEDUPED pair set by id equi-join —
+    // each is fetched from the base table, which at scale is a columnar
+    // (id, vec) projection co-partitioned by id.
+    val banded0 = emb.select(col(idCol),
       posexplode(array((0 until bands).map(b =>
         lshSignature(col(vecCol), planesPerBand, b * planesPerBand)): _*))
         .as(Seq("__band", "__sig"))).persist()
-    val sized = banded0.withColumn("__bn",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__band"), col("__sig"))))
-    val nDropped = sized.filter(col("__bn") > maxBucket).count()
-    if (nDropped > 0) System.err.println(
-      s"[nearDupPairs] dropped $nDropped rows in over-cap buckets (cap=$maxBucket)")
-    val banded = sized.filter(col("__bn") <= maxBucket).drop("__bn")
-    val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__band"), col("__sig"))
-    val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__band"), col("__sig"))
-    val result = a.join(b, Seq("__band", "__sig"))
+    // over-cap buckets via partial-aggregated groupBy + tiny driver set
+    // (see TextOps.minhashCandidates — a window here shuffled and sorted
+    // the whole banded frame per call); empty set => no filter pass.
+    val overCap = banded0.groupBy(col("__band"), col("__sig")).count()
+      .filter(col("count") > maxBucket).collect()
+    val banded = if (overCap.isEmpty) banded0 else {
+      val nDropped = overCap.map(_.getLong(2)).sum
+      System.err.println(
+        s"[nearDupPairs] dropped $nDropped rows in ${overCap.length} over-cap buckets (cap=$maxBucket)")
+      val hot = overCap.map(r => (r.getInt(0), r.getLong(1))).toSet
+      val isHot = udf((band: Int, h: Long) => hot.contains((band, h)))
+      banded0.filter(!isHot(col("__band"), col("__sig")))
+    }
+    val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__sig"))
+    val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__sig"))
+    val cand = a.join(b, Seq("__band", "__sig"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
-      .withColumn("cos_sim", cosineUdf(col("vec_a"), col("vec_b")))
+      .select("id_a", "id_b").distinct()
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val result = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cos_sim", cosineUdf(col("__va"), col("__vb")))
       .filter(col("cos_sim") >= minCosine)
       .select("id_a", "id_b", "cos_sim")
       .persist()

@@ -77,6 +77,60 @@ object TextOps {
     }
   })
 
+  /** Sorted distinct 64-bit FNV-1a hashes of the word k-shingles — the
+    * refine-side projection of a document (round-3 q15 trim): computed
+    * ONCE per document, candidate pairs then exchange ~8 bytes per
+    * distinct shingle instead of the full text shipped twice, and the
+    * per-pair Jaccard becomes a linear sorted-merge instead of
+    * re-shingling both texts per pair. Hash collisions vs exact string
+    * shingles shift a pair's Jaccard with probability
+    * <= |union|² / 2^64 (~1e-13 for 10k-shingle unions) — negligible
+    * against the DuckDB string-shingle oracle at any tested scale. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    shingleHashesUdf(text, lit(k))
+
+  private val shingleHashesUdf = udf((text: String, k: Int) => {
+    val words = if (text == null) Array.empty[String]
+      else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + k <= words.length) {
+      var h = 1469598103934665603L // FNV-1a over the space-joined k-shingle
+      var j = i
+      while (j < i + k) {
+        val w = words(j)
+        var c = 0
+        while (c < w.length) { h = (h ^ w.charAt(c).toLong) * 1099511628211L; c += 1 }
+        if (j < i + k - 1) h = (h ^ ' '.toLong) * 1099511628211L
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  })
+
+  /** exact Jaccard of two sorted distinct hash arrays (linear merge). */
+  def hashedJaccard(a: Column, b: Column): Column = hashedJaccardUdf(a, b)
+
+  private val hashedJaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => {
+    if (a.isEmpty && b.isEmpty) 0.0
+    else {
+      val xa = a.toArray; val xb = b.toArray
+      var i = 0; var j = 0; var inter = 0
+      while (i < xa.length && j < xb.length) {
+        if (xa(i) == xb(j)) { inter += 1; i += 1; j += 1 }
+        else if (xa(i) < xb(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (xa.length + xb.length - inter)
+    }
+  })
+
   /** deterministic 64-bit-ish hash of a string column (xxhash64). */
   def h64(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
 
@@ -146,13 +200,22 @@ object TextOps {
       array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
       .as(Seq("band", "bandhash"))).persist()
-    val sized = banded.withColumn("__bn",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bandhash"))))
-    val dropped = sized.filter(col("__bn") > maxBucket)
-    val keptBanded = sized.filter(col("__bn") <= maxBucket).drop("__bn")
-    val nDropped = dropped.count()
-    if (nDropped > 0) System.err.println(
-      s"[minhashCandidates] dropped $nDropped rows in over-cap buckets (cap=$maxBucket)")
+    // over-cap buckets via partial-aggregated groupBy (NOT a window: the
+    // window shuffled + sorted every banded row just to count buckets,
+    // ~1s of pure overhead per call at sf0.1). Over-cap buckets are rare
+    // by construction, so the collected driver set is tiny — and when
+    // it is empty (the common case) the kept side needs no filter pass
+    // at all. Dropped rows are still counted and logged, never silent.
+    val overCap = banded.groupBy(col("band"), col("bandhash")).count()
+      .filter(col("count") > maxBucket).collect()
+    val keptBanded = if (overCap.isEmpty) banded else {
+      val nDropped = overCap.map(_.getLong(2)).sum
+      System.err.println(
+        s"[minhashCandidates] dropped $nDropped rows in ${overCap.length} over-cap buckets (cap=$maxBucket)")
+      val hot = overCap.map(r => (r.getInt(0), r.getLong(1))).toSet
+      val isHot = udf((band: Int, h: Long) => hot.contains((band, h)))
+      banded.filter(!isHot(col("band"), col("bandhash")))
+    }
     val a = keptBanded.withColumnRenamed("doc_id", "doc_a")
     val b = keptBanded.withColumnRenamed("doc_id", "doc_b")
     val result = a.join(b, Seq("band", "bandhash"))

@@ -245,6 +245,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cand.contains((1L, 3L)) && !cand.contains((3L, 4L)))
   }
 
+  test("hashed shingle-set Jaccard equals exact string-shingle Jaccard") {
+    import spark.implicits._
+    // the q15 refine path: per-doc shingle-hash projection + sorted-merge
+    // must reproduce the per-pair string-shingle UDF value exactly
+    val base = "the quick brown fox jumps over the lazy dog again and again with many words in common"
+    val docs = Seq(
+      (1L, base), (2L, base + " tail words appended here"), (3L, "spark engines do scala things"),
+      (4L, base), (5L, ""), (6L, "one two")).toDF("doc_id", "text")
+    val pairs = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      .crossJoin(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("j_exact", TextOps.shingleJaccard(col("ta"), col("tb")))
+      .withColumn("j_hash", TextOps.hashedJaccard(
+        TextOps.shingleHashes(col("ta")), TextOps.shingleHashes(col("tb"))))
+      .select("doc_a", "doc_b", "j_exact", "j_hash").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}): exact=${r.getDouble(2)} hashed=${r.getDouble(3)}")
+    }
+  }
+
   test("simhash hamming distance separates near from far") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again with many words"
