@@ -188,15 +188,24 @@ object Bench {
     *
     * Reported: wall time AND max single-task time for both runs (the
     * per-reducer melt is the mechanism), plus a rows-match flag. */
-  def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 8000000L): SkewResult = {
+  def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 6000000L): SkewResult = {
     import graft.functions.StareFunctions._
+    // the city: 90% of the points in a ~0.5deg patch centered on ONE
+    // level-6 trixel's center, so the hot rows share a single join key
+    // (the cover cell containing the patch after the join's canonical
+    // compression) — the melt a real city produces, undiluted across
+    // cell boundaries. Sizing: ~5.4M hot rows ≈ ~220 MB on one reducer,
+    // deliberately UNDER AQE skewJoin's 256 MB
+    // skewedPartitionThresholdInBytes — the regime AQE (left ON here)
+    // does not cover and exact cell splitting does; above the threshold
+    // AQE already rescues the stage on its own.
+    val (hotLat, hotLon) = graft.core.Htm.sidToCenter(
+      graft.core.Htm.latLonToSid(10.5, 10.5, 6))
     val pts = spark.range(n)
-      .withColumn("hot", col("id") % 2 === 0)
-      // hot 50%: jitter inside one ~1deg city patch around (10.3, 10.3);
-      // cold 50%: spread over a 40x40 degree region
-      .withColumn("lat", when(col("hot"), lit(10.3) + (col("id") % 97).cast("double") / 97.0)
+      .withColumn("hot", col("id") % 10 > 0)
+      .withColumn("lat", when(col("hot"), lit(hotLat - 0.25) + (col("id") % 97).cast("double") / 194.0)
         .otherwise(lit(-10.0) + (col("id") % 4001).cast("double") / 100.0))
-      .withColumn("lon", when(col("hot"), lit(10.3) + (col("id") % 89).cast("double") / 89.0)
+      .withColumn("lon", when(col("hot"), lit(hotLon - 0.25) + (col("id") % 89).cast("double") / 178.0)
         .otherwise(lit(60.0) + (col("id") % 3989).cast("double") / 100.0))
       .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
       .select(col("id"), col("sid"))
@@ -228,10 +237,22 @@ object Bench {
       val gate = spec.skipReason.map(r => s"skipped: $r").getOrElse(
         s"engaged: ${spec.parents.length} parents -> levels ${spec.parents.flatMap(_.childLevels).distinct.sorted.mkString("/")}")
       run(None) // warm-up
-      val (baseSec, baseRows, baseMax) = run(None)
-      val (splitSec, splitRows, splitMax) = run(Some(threshold))
+      // alternating best-of-3: the host carries external load spikes
+      // (observed: a 66 s max task for work that takes 4 s quiet, with
+      // loadavg jumping 4 -> 24 mid-section); alternation exposes both
+      // variants to the same conditions and min discards the spikes
+      val reps = (1 to 3).map { i =>
+        val b = run(None)
+        val s = run(Some(threshold))
+        System.err.println(f"[skew] rep $i: no-split ${b._1}%.2f s (max task ${b._3}%.2f), " +
+          f"split ${s._1}%.2f s (max task ${s._3}%.2f), loadavg ${loadavg()}%.2f")
+        (b, s)
+      }
       pts.unpersist()
-      SkewResult(n, baseSec, splitSec, baseMax, splitMax, baseRows == splitRows, gate)
+      val base = reps.map(_._1).minBy(_._1)
+      val split = reps.map(_._2).minBy(_._1)
+      val rowsMatch = reps.forall(r => r._1._2 == r._2._2)
+      SkewResult(n, base._1, split._1, base._3, split._3, rowsMatch, gate)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
       spark.sparkContext.removeSparkListener(listener)

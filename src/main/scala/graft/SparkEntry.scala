@@ -302,10 +302,14 @@ object SparkEntry {
       val docs = indexed(s, dir).select(col("doc_id"), col("sid"), col("lat"), col("lon"),
         col("warc_ts"), col("lang"))
       // pod/chunk granularity sized so partition-dir count stays sane at
-      // bench scale (every (pod, chunk) pair is a directory + file);
-      // production pods would carry GBs per directory at the same levels
+      // bench scale (every (pod, chunk) pair is a directory + file, and
+      // dir create/list costs ~20ms each on this host): 30-day chunks
+      // over the year-spanning warc_ts give ~13 chunks/pod; the 5.4-hour
+      // query window still prunes to a single chunk per pod, so the
+      // temporal-pruning path stays fully exercised. Production pods
+      // would carry GBs per directory at the same levels.
       Pods.write(docs, out, "sid", podLevel = 2, lineageId = s"verify-$runNonce-$dir",
-        tsCol = Some("warc_ts"), chunkMs = 2L * 86400000L)
+        tsCol = Some("warc_ts"), chunkMs = 30L * 86400000L)
       val r = region("europe_c")
       val t0 = 1700000600L; val t1 = 1700020000L
       Pods.read(s, out, regionCover(r), timeRangeMs = Some((t0 * 1000, t1 * 1000)))

@@ -39,9 +39,17 @@ object Skew {
                                keptLevels: Array[Int], skipReason: Option[String] = None)
 
   /** Estimate per-cell point counts from a sample of the left side and
-    * split cells whose projected population exceeds `maxRowsPerCell`
-    * (descending one level quarters the expected population; recurse
-    * up to `maxExtraLevels`).
+    * split cells whose projected population exceeds `maxRowsPerCell`.
+    *
+    * The descent follows ACTUAL sampled descendant counts, not a
+    * uniform-quartering assumption: real hot spots (cities) concentrate
+    * in a corner of a coarse cell, so est/4-per-child systematically
+    * under-descends — one child inherits nearly everything and the
+    * reducer still melts (round-2's split demo lost partly for this).
+    * Once the hot cells are known (first sample pass at the cover-cell
+    * levels), a second pass over the same sample counts their
+    * descendants at every candidate split level, and the recursion
+    * splits exactly the children that are actually heavy.
     *
     * Split depth is capped at the EXACT minimum left-side sid level
     * (one narrow aggregation): a left sid coarser than a split cell
@@ -50,7 +58,7 @@ object Skew {
   def splitHotCellsWithSpec(left: DataFrame, leftSid: String,
                             right: DataFrame, rightSids: String,
                             maxRowsPerCell: Long, sampleFraction: Double = 0.01,
-                            maxExtraLevels: Int = 4,
+                            maxExtraLevels: Int = 6,
                             knownMinLeftLevel: Option[Int] = None): SplitResult = {
     // per-cell sample counts (cells normalized at own level)
     val cells = right.select(explode(stareCompress(col(rightSids))).as("c"))
@@ -110,20 +118,46 @@ object Skew {
         f"reducer share (~$fairShare%.0f of ~$estTotal%.0f matched rows over " +
         f"$shufflePartitions partitions); reducers are already balanced")
 
-    // the split plan, fully decided on the driver
-    def split(cell: Long, estRows: Double, extra: Int): Seq[Long] = {
+    // Phase B: descendant counts of the HOT cells only, from the same
+    // sample — one more narrow job over hot-membership rows. The
+    // recursion then descends where mass actually sits instead of
+    // assuming each level quarters the population.
+    val hotCells = cells.filter(c => counts.getOrElse(c, 0L) * scale > maxRowsPerCell)
+    val childCounts: Map[Long, Long] = {
+      val hotByLevel = hotCells.groupBy(Sid.level)
+      val candLevels = hotCells.flatMap { c =>
+        val l = Sid.level(c)
+        (l + 1) to math.min(l + maxExtraLevels, math.min(minLeftLevel, Sid.MaxLevel))
+      }.distinct.sorted
+      if (hotCells.isEmpty || candLevels.isEmpty) Map.empty
+      else {
+        val inHot = hotByLevel.map { case (l, cs) =>
+          stareLevel(col("s")) >= l && stareClearTo(col("s"), l).isin(cs.toSeq: _*)
+        }.reduce(_ || _)
+        sample.filter(inHot)
+          .withColumn("k", explode(filter(
+            array(candLevels.map(lv =>
+              when(stareLevel(col("s")) >= lv, stareClearTo(col("s"), lv))): _*),
+            c => c.isNotNull)))
+          .groupBy("k").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    }
+    val countsAll = counts ++ childCounts
+
+    // the split plan, fully decided on the driver from actual counts
+    def split(cell: Long, extra: Int): Seq[Long] = {
+      val estRows = countsAll.getOrElse(cell, 0L) * scale
       if (estRows <= maxRowsPerCell || extra >= maxExtraLevels ||
         Sid.level(cell) >= math.min(minLeftLevel, Sid.MaxLevel)) Seq(cell)
       else {
         val l = Sid.level(cell)
         val lo = Sid.intervalLo(cell)
         val childInc = Sid.increment(l + 1)
-        (0 until 4).flatMap(i => split((lo + i * childInc) | (l + 1), estRows / 4, extra + 1))
+        (0 until 4).flatMap(i => split((lo + i * childInc) | (l + 1), extra + 1))
       }
     }
-    val plan: Map[Long, Seq[Long]] = cells.map { cell =>
-      cell -> split(cell, counts.getOrElse(cell, 0L) * scale, 0)
-    }.toMap
+    val plan: Map[Long, Seq[Long]] = cells.map(cell => cell -> split(cell, 0)).toMap
     val parents = plan.collect {
       case (cell, children) if children != Seq(cell) =>
         SplitParent(cell, Sid.level(cell), children.map(Sid.level).distinct.sorted.toArray)

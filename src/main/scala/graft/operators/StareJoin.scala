@@ -255,7 +255,16 @@ object StareJoin {
     * monotonically_increasing_id (whose values can change if a cached
     * frame is recomputed) the assignment is a pure function of the
     * partitioned input, so the frame can be reused across joins with NO
-    * persist — cache hygiene with correctness intact. */
+    * persist — cache hygiene with correctness intact.
+    *
+    * Cost: one extra partition-count job + a Row round-trip per call —
+    * deliberately kept (r2 verdict flagged it "retire if cheap"; the
+    * alternatives are not): content-hash ids collide birthday-style
+    * (~rows²/2^65 — dozens of silently merged row identities at 10^12
+    * rows, i.e. wrong join multiplicity), and mono_id needs a lingering
+    * persist to pin its values. Only the general cover×cover join and
+    * the shuffle join's left path pay it; the broadcast pointJoin
+    * assigns ids on the driver. */
   private[operators] def withStableId(df: DataFrame, name: String): DataFrame = {
     val spark = df.sparkSession
     val schema = org.apache.spark.sql.types.StructType(
