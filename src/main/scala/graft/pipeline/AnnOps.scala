@@ -86,6 +86,32 @@ object AnnOps {
   def lshSignature(vec: Column, planes: Int, offset: Int = 0): Column =
     sigUdf(vec, lit(planes), lit(offset))
 
+  /** all `bands` band signatures in ONE UDF pass: converts the vector
+    * once and projects against every plane — replaces a per-band array
+    * of sigUdf calls whose wide projection re-converted the vector
+    * `bands` times and compiled a large codegen class (the cold-run
+    * cost of nearDupPairs, measured multi-second at any data size). */
+  private val bandSigsUdf = udf((v: Seq[Float], bands: Int, planesPerBand: Int) => {
+    val dim = v.length
+    val comp = PlaneCache.components(0, bands * planesPerBand, dim)
+    val arr = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { arr(i) = v(i).toDouble; i += 1 }
+    Array.tabulate(bands) { band =>
+      var out = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        val base = (band * planesPerBand + p) * dim
+        var proj = 0.0
+        i = 0
+        while (i < dim) { proj += arr(i) * comp(base + i); i += 1 }
+        if (proj >= 0) out |= (1L << p)
+        p += 1
+      }
+      out
+    }
+  })
+
   /** All-pairs near-duplicate candidates by embedding: BANDED multi-table
     * sign-LSH (the MinHash banding shape) — `bands` independent
     * signatures of `planesPerBand` hyperplanes each, bucket equi-join on
@@ -119,8 +145,7 @@ object AnnOps {
     // each is fetched from the base table, which at scale is a columnar
     // (id, vec) projection co-partitioned by id.
     val banded0 = emb.select(col(idCol),
-      posexplode(array((0 until bands).map(b =>
-        lshSignature(col(vecCol), planesPerBand, b * planesPerBand)): _*))
+      posexplode(bandSigsUdf(col(vecCol), lit(bands), lit(planesPerBand)))
         .as(Seq("__band", "__sig"))).persist()
     // over-cap buckets via partial-aggregated groupBy + tiny driver set
     // (see TextOps.minhashCandidates — a window here shuffled and sorted

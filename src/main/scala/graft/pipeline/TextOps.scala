@@ -173,6 +173,54 @@ object TextOps {
     sig
   })
 
+  /** Banded minhash signature: one UDF pass emits the per-band hash
+    * directly (FNV-1a fold over each band's minima) instead of a
+    * 12-expression slice/concat/xxhash projection over the raw
+    * signature — the wide projection compiled a large janino class and
+    * dominated the COLD time of minhashCandidates (sub-second compute,
+    * multi-second first-run codegen at any data size). */
+  private[pipeline] def minhashBandHashes(text: Column, k: Int, perms: Int, bands: Int): Column =
+    minhashBandsUdf(text, lit(k), lit(perms), lit(bands))
+
+  private val minhashBandsUdf = udf((text: String, k: Int, perms: Int, bands: Int) => {
+    val words = if (text == null) Array.empty[String] else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val sig = Array.fill(perms)(Long.MaxValue)
+    if (words.length >= k) {
+      var i = 0
+      while (i + k <= words.length) {
+        var h = 1469598103934665603L // FNV-1a over the k-shingle
+        var j = i
+        while (j < i + k) {
+          val w = words(j)
+          var c = 0
+          while (c < w.length) { h = (h ^ w.charAt(c).toLong) * 1099511628211L; c += 1 }
+          h = (h ^ ' '.toLong) * 1099511628211L
+          j += 1
+        }
+        var p = 0
+        while (p < perms) {
+          var m = h ^ (0x9E3779B97F4A7C15L * (p + 1))
+          m ^= (m >>> 33); m *= 0xFF51AFD7ED558CCDL; m ^= (m >>> 33)
+          if (m < sig(p)) sig(p) = m
+          p += 1
+        }
+        i += 1
+      }
+    }
+    val rows = perms / bands
+    Array.tabulate(bands) { b =>
+      var h = 1469598103934665603L ^ (b * 0x9E3779B97F4A7C15L)
+      var r = 0
+      while (r < rows) {
+        val v = sig(b * rows + r)
+        var s = 0
+        while (s < 8) { h = (h ^ ((v >>> (8 * s)) & 0xffL)) * 1099511628211L; s += 1 }
+        r += 1
+      }
+      h
+    }
+  })
+
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
     * (band index, band hash), dedup pairs. bands*rowsPerBand = perms.
     *
@@ -191,15 +239,13 @@ object TextOps {
     * bounded by cap² per bucket at any corpus size. */
   def minhashCandidates(docs: DataFrame, k: Int = 3, perms: Int = 36, bands: Int = 12,
                         maxBucket: Long = 100000L): DataFrame = {
-    val rowsPerBand = perms / bands
+    require(perms % bands == 0, s"perms=$perms not divisible by bands=$bands")
     // cache the banded signatures: the bucket-size scan and the pair
     // join both read them; the candidate pair set is materialized and
     // the signature cache released before returning.
-    val sig = docs.select(col("doc_id"), minhashSignature(col("text"), k, perms).as("sig"))
-    val banded = sig.select(col("doc_id"), posexplode(
-      array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
-      .as(Seq("band", "bandhash"))).persist()
+    val banded = docs
+      .select(col("doc_id"), posexplode(minhashBandHashes(col("text"), k, perms, bands))
+        .as(Seq("band", "bandhash"))).persist()
     // over-cap buckets via partial-aggregated groupBy (NOT a window: the
     // window shuffled + sorted every banded row just to count buckets,
     // ~1s of pure overhead per call at sf0.1). Over-cap buckets are rare
