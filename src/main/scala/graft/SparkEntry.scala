@@ -417,6 +417,18 @@ object SparkEntry {
           lit(rootAreaOk).as("root_area_ok"))
         .orderBy(col("doc_id"))
     }),
+    "q38_ivf_topk" -> ((s, dir) => {
+      // IVF similarity search: coarse spherical-k-means quantizer,
+      // nearest-centroid assignment, probe the nprobe nearest clusters.
+      // nprobe = k(centroids) probes every cluster, so the result
+      // provably equals brute force (the oracle); pruned-probe recall
+      // is measured in AnnOpsSpec (the actual 100 TB trade-off).
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = Array.tabulate(64)(i => (math.cos(i + 1) / 8.0).toFloat)
+      val cents = AnnOps.trainCentroids(emb, "embedding", "vec_id", k = 16)
+      AnnOps.ivfTopK(emb, "embedding", "vec_id", q, 20, cents, nprobe = 16)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim_r"))
+    }),
     "q37_raster_grid" -> ((s, dir) => {
       // Granule.to_df analog: distributed pixel grid -> affine lon/lat ->
       // per-pixel adaptive-level sid; band aggregates have a closed form
@@ -823,6 +835,13 @@ object SparkEntry {
       "q36_trixel_geometry" ->
         """SELECT doc_id, 8::BIGINT AS cell_level, true AS geom_ok, true AS root_area_ok
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q38_ivf_topk" -> {
+        val qvec = (0 until 64).map(i => (math.cos(i + 1) / 8.0).toFloat.toDouble)
+          .mkString("[", ",", "]::DOUBLE[]")
+        s"""SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], $qvec), 4) AS cos_sim_r
+           |FROM embeddings
+           |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvec) DESC, vec_id LIMIT 20""".stripMargin
+      },
       "q37_raster_grid" ->
         """WITH g AS (
           | SELECT a.x AS x, b.y AS y

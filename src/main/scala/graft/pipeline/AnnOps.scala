@@ -176,4 +176,98 @@ object AnnOps {
     banded0.unpersist(false)
     result
   }
+
+  // ------------------------------------------------------------- IVF
+
+  /** Coarse spherical-k-means quantizer for an IVF index, trained on a
+    * deterministic driver-side sample (every step-th row by id — at
+    * scale the sample is a bounded collect regardless of corpus size;
+    * the centroid table is tiny and broadcasts). Assignment maximizes
+    * the dot product over UNIT vectors (= cosine), so probing the
+    * nearest clusters is the standard IVF recall/latency trade-off.
+    *
+    * Returns `k` unit-norm centroids (rows of length dim). */
+  def trainCentroids(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+                     iters: Int = 10, sampleCap: Int = 10000): Array[Array[Double]] = {
+    val n = emb.count()
+    val step = math.max(1L, n / sampleCap)
+    val sample = emb.filter(col(idCol) % step === 0)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(normalize).filter(_ != null)
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    // deterministic spread init: every (m/k)-th sample vector
+    var cents = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, cents)
+        val s = sums(c)
+        var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else { val u = normalize(sums(c)); if (u == null) cents(c) else u }
+      }
+    }
+    cents
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s == 0) null else { val inv = 1.0 / math.sqrt(s); v.map(_ * inv) }
+  }
+
+  private def nearestCentroid(unit: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var d = 0.0; var i = 0
+      while (i < unit.length) { d += unit(i) * cc(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** nearest-centroid cluster id per row (one UDF pass; the centroid
+    * matrix ships once per executor in the closure). Zero vectors go to
+    * cluster -1 (probed never — they have no cosine neighbors). At
+    * scale, write the table clustered by this column so probes prune
+    * files (the pods pattern applied to vector space). */
+  def ivfAssign(emb: DataFrame, vecCol: String, centroids: Array[Array[Double]]): Column = {
+    val assignUdf = udf((v: Seq[Float]) => {
+      val a = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { a(i) = v(i).toDouble; i += 1 }
+      val u = normalize(a)
+      if (u == null) -1 else nearestCentroid(u, centroids)
+    })
+    assignUdf(col(vecCol))
+  }
+
+  /** IVF top-k: exact cosine over only the rows assigned to the
+    * `nprobe` clusters nearest the query. nprobe = centroids.length
+    * probes everything and provably equals brute force (the q38 oracle
+    * configuration); smaller nprobe is the scale path whose recall is
+    * measured in AnnOpsSpec. */
+  def ivfTopK(emb: DataFrame, vecCol: String, idCol: String, query: Array[Float], k: Int,
+              centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val qUnit = normalize(query.map(_.toDouble))
+    require(qUnit != null, "zero query vector")
+    val probed = centroids.indices
+      .sortBy(c => -centroids(c).zip(qUnit).map { case (a, b) => a * b }.sum)
+      .take(nprobe)
+    val q = query.toSeq
+    val simUdf = udf((v: Seq[Float]) => cos(v, q))
+    emb.filter(ivfAssign(emb, vecCol, centroids).isin(probed: _*))
+      .withColumn("cos_sim", simUdf(col(vecCol)))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 }

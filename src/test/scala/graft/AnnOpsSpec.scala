@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline.AnnOps
+
+class AnnOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** deterministic noise in [-amp, amp] from integer mixing. */
+  private def noise(seed: Long, amp: Double): Double = {
+    var m = seed * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+    m ^= (m >>> 33); m *= 0xFF51AFD7ED558CCDL; m ^= (m >>> 33)
+    (m % 2001L).toDouble / 2000.0 * amp
+  }
+
+  /** 4 well-separated clusters around orthogonal axes in dim 8. */
+  private def clusteredEmb = {
+    import spark.implicits._
+    (0 until 400).map { id =>
+      val c = id % 4
+      val v = Array.tabulate(8)(i =>
+        ((if (i == c * 2) 1.0 else 0.0) + noise(id.toLong * 8 + i, 0.05)).toFloat)
+      (id.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF with one probed cluster finds the full exact top-k on separated clusters") {
+    val emb = clusteredEmb
+    val cents = AnnOps.trainCentroids(emb, "embedding", "vec_id", k = 4, iters = 10, sampleCap = 400)
+    // query near the axis of cluster 0
+    val q = Array.tabulate(8)(i => ((if (i == 0) 1.0 else 0.0) + noise(9001L * 8 + i, 0.05)).toFloat)
+    val brute = AnnOps.topK(emb, "embedding", q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = AnnOps.ivfTopK(emb, "embedding", "vec_id", q, 10, cents, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf === brute) // all true neighbors live in the probed cluster
+    // and the probed cluster really is a ~100-row subset, not the corpus
+    val qd = q.map(_.toDouble)
+    val probedCluster = cents.indices.maxBy(c => cents(c).zip(qd).map { case (a, b) => a * b }.sum)
+    val probedRows = emb.filter(AnnOps.ivfAssign(emb, "embedding", cents) === lit(probedCluster)).count()
+    assert(probedRows > 0 && probedRows < 200)
+  }
+
+  test("IVF probing every cluster equals brute force on the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.tabulate(64)(i => (math.cos(i + 1) / 8.0).toFloat)
+    val cents = AnnOps.trainCentroids(emb, "embedding", "vec_id", k = 8)
+    val brute = AnnOps.topK(emb, "embedding", q, 10)
+      .select("vec_id", "cos_sim").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ivf = AnnOps.ivfTopK(emb, "embedding", "vec_id", q, 10, cents, nprobe = 8)
+      .select("vec_id", "cos_sim").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq === brute.toSeq)
+  }
+
+  test("IVF pruned probe trades recall for candidates scanned (and reports both)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.tabulate(64)(i => (math.cos(i + 1) / 8.0).toFloat)
+    val cents = AnnOps.trainCentroids(emb, "embedding", "vec_id", k = 8)
+    val brute = AnnOps.topK(emb, "embedding", q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val n = emb.count()
+    val recalls = Seq(2, 4, 8).map { np =>
+      val got = AnnOps.ivfTopK(emb, "embedding", "vec_id", q, 10, cents, nprobe = np)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val scanned = emb.filter(AnnOps.ivfAssign(emb, "embedding", cents).isin(
+        cents.indices.sortBy(c => -cents(c).zipWithIndex.map { case (x, i) => x * q(i) }.sum)
+          .take(np): _*)).count()
+      val r = got.intersect(brute).size.toDouble / brute.size
+      info(f"nprobe=$np: recall@10 $r%.2f, scanned $scanned/$n")
+      r
+    }
+    assert(recalls.last === 1.0) // full probe is exact
+    assert(recalls == recalls.sorted) // recall is monotone in nprobe
+  }
+}
