@@ -39,6 +39,49 @@ object StreamingIndex {
       .groupBy(window(col("warc_ts"), "5 minutes"), col("pod"))
       .agg(count(lit(1)).as("pages"))
 
+  /** Stateful streaming exact-dedup: first-seen pages pass, repeats are
+    * dropped, keyed by a 128-bit content hash with
+    * `flatMapGroupsWithState` (the custom-state path — `dropDuplicates`
+    * cannot bound or inspect its state). State is one boolean per
+    * distinct content hash and EXPIRES at the event-time watermark +
+    * `keepAliveMs`, so state size tracks the distinct-content rate within
+    * the horizon, not the corpus — the property that matters on an
+    * unbounded crawl. The key is the hash (16 bytes), never the text,
+    * mirroring the batch exactDedup shuffle-key rule. */
+  def dedupStream(pages: DataFrame, keepAliveMs: Long = 600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = pages.sparkSession
+    import s.implicits._
+    val keyed = pages
+      .withWatermark("warc_ts", "1 minute")
+      .select(col("url"), col("warc_ts"), col("text"), col("lang"),
+        concat_ws(":", xxhash64(col("text"), lit(1)), xxhash64(col("text"), lit(2))).as("__key"))
+      .as[(String, java.sql.Timestamp, String, String, String)]
+      .groupByKey(_._5)
+    keyed.flatMapGroupsWithState[Boolean, (String, java.sql.Timestamp, String, String)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      case (_, rows, state: GroupState[Boolean]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val list = rows.toSeq // bounded by the group's batch slice
+          val out = if (state.exists || list.isEmpty) Iterator.empty
+            else { // first-seen = earliest event time (deterministic)
+              val r = list.minBy(_._2.getTime)
+              Iterator.single((r._1, r._2, r._3, r._4))
+            }
+          state.update(true)
+          // anchor the expiry to event time as well as the watermark: in
+          // the FIRST micro-batch the watermark is still 0 (it advances
+          // at batch boundaries), and 0 + keepAlive is already in the
+          // past of any real event-time clock — the state would silently
+          // expire before batch 2 and repeats would pass
+          val evMax = if (list.nonEmpty) list.map(_._2.getTime).max else 0L
+          state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs(), evMax) + keepAliveMs)
+          out
+        }
+    }.toDF("url", "warc_ts", "text", "lang")
+  }
+
   /** start the append sink: pod-partitioned parquet + checkpoint. */
   def start(pages: DataFrame, outPath: String, checkpoint: String,
             level: Int = 26, podLevel: Int = 4): StreamingQuery =

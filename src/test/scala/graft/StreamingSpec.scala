@@ -98,4 +98,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("window.end") > lateWindowStart).count()
     assert(lateRows === 0)
   }
+
+  test("stateful streaming dedup: first-seen passes, repeats drop, state keyed by hash") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 08:00:00")
+    def page(i: Int, text: String) =
+      Page(s"https://d/$i", new java.sql.Timestamp(t0.getTime + i * 60000L), text, "en")
+    // batch 1: A, B, A (in-batch repeat)
+    mem.addData(page(1, "content A"), page(2, "content B"), page(3, "content A"))
+    val out = java.nio.file.Files.createTempDirectory("dd_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dd_ckpt").toString
+    val dedup = StreamingIndex.dedupStream(mem.toDF())
+    def runBatch(): Unit = {
+      val q = dedup.writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination(60000)
+    }
+    runBatch()
+    val b1 = spark.read.parquet(out)
+    assert(b1.count() === 2) // A once, B once
+    assert(b1.select("text").collect().map(_.getString(0)).toSet === Set("content A", "content B"))
+    // batch 2: A again (cross-batch repeat, state remembers) + C (new)
+    mem.addData(page(4, "content A"), page(5, "content C"))
+    runBatch()
+    val b2 = spark.read.parquet(out)
+    assert(b2.count() === 3)
+    assert(b2.select("text").collect().map(_.getString(0)).toSet ===
+      Set("content A", "content B", "content C"))
+    // the first-seen URL was kept for A, not the repeat's
+    assert(b2.filter(col("text") === "content A").select("url").collect()
+      .map(_.getString(0)).toSet === Set("https://d/1"))
+    // batch 3 advances the watermark past A's keep-alive horizon
+    // (timeout ~ t0+15min; watermark after this batch ~ t0+29min)
+    mem.addData(page(30, "content D"))
+    runBatch()
+    // batch 4: A returns AFTER expiry — state was dropped (bounded
+    // state: the dedup horizon is keepAliveMs, not the corpus)
+    mem.addData(page(31, "content A"))
+    runBatch()
+    val b4 = spark.read.parquet(out)
+    assert(b4.count() === 5)
+    assert(b4.filter(col("text") === "content A").count() === 2)
+  }
 }
