@@ -417,6 +417,14 @@ object SparkEntry {
           lit(rootAreaOk).as("root_area_ok"))
         .orderBy(col("doc_id"))
     }),
+    "q39_frame_sample" -> ((s, dir) => {
+      // multimodal one-to-many: each payload fans out into 1..7 frame
+      // rows (count + hashes derive from the payload FNV — stub decode,
+      // real fan-out plumbing; oracle mirrors in HUGEINT SQL)
+      Multimodal.sampleFrames(Webtext.table(s, dir))
+        .select(col("url"), col("frame_idx"), col("ts_ms"), col("frame_hash"))
+        .orderBy(col("url"), col("frame_idx"))
+    }),
     "q38_ivf_topk" -> ((s, dir) => {
       // IVF similarity search: coarse spherical-k-means quantizer,
       // nearest-centroid assignment, probe the nprobe nearest clusters.
@@ -835,6 +843,20 @@ object SparkEntry {
       "q36_trixel_geometry" ->
         """SELECT doc_id, 8::BIGINT AS cell_level, true AS geom_ok, true AS root_area_ok
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q39_frame_sample" -> {
+        val html = "'<html><body>' || text || '</body></html>'"
+        val frameHash = "(hu * (frame_idx + 1)) % 18446744073709551616::HUGEINT"
+        s"""WITH h AS (
+           | SELECT 'https://crawl.example/' || lang || '/' || source || '/' || doc_id AS url,
+           |        ${fnvSql(html)} AS hu
+           | FROM documents),
+           |f AS (SELECT url, hu,
+           |        unnest(range(0, (1 + hu % 7)::BIGINT)) AS frame_idx
+           |      FROM h)
+           |SELECT url, frame_idx::INTEGER AS frame_idx, (frame_idx * 1000)::BIGINT AS ts_ms,
+           |       ${toSignedSql(frameHash)} AS frame_hash
+           |FROM f ORDER BY url, frame_idx""".stripMargin
+      },
       "q38_ivf_topk" -> {
         val qvec = (0 until 64).map(i => (math.cos(i + 1) / 8.0).toFloat.toDouble)
           .mkString("[", ",", "]::DOUBLE[]")

@@ -131,6 +131,29 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multimodal resize and frame sampling keep schema, determinism, and fan-out bounds") {
+    import graft.pipeline.Multimodal
+    val wt = graft.sources.Webtext.table(spark, sf)
+    val nDocs = wt.count()
+    val rs = Multimodal.resize(wt, 32, 16)
+    assert(rs.schema === Multimodal.resizedSchema)
+    val one = rs.orderBy("url").limit(1).collect()(0)
+    assert(one.getInt(1) === 32 && one.getInt(2) === 16)
+    assert(one.getAs[Array[Byte]](3).length === 16)
+    // deterministic: same payload -> same thumbnail
+    val again = Multimodal.resize(wt, 32, 16).orderBy("url").limit(1).collect()(0)
+    assert(one.getAs[Array[Byte]](3).toSeq === again.getAs[Array[Byte]](3).toSeq)
+
+    val fr = Multimodal.sampleFrames(wt)
+    assert(fr.schema === Multimodal.frameSchema)
+    val counts = fr.groupBy("url").count().select("count").collect().map(_.getLong(0))
+    assert(counts.length === nDocs)
+    assert(counts.forall(c => c >= 1 && c <= 7)) // 1..7 frames per payload
+    // frame timestamps follow the sampling cadence
+    val f0 = fr.filter(col("frame_idx") === 2).select("ts_ms").limit(1).collect()
+    f0.foreach(r => assert(r.getLong(0) === 2000L))
+  }
+
   test("q33 smoke at sf0.001: overlapping south-america pairs count > 0 docs consistently") {
     val rows = SparkEntry.queries("q33_cover_algebra")(spark, sf).collect()
     assert(rows.length === SparkEntry.regionPairs.length)
