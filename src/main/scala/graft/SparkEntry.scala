@@ -167,13 +167,23 @@ object SparkEntry {
       // re-shingling both sides per pair.
       val d = s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
       val cands = TextOps.minhashCandidates(d)
-      // only docs that appear in a candidate pair need the projection
-      // (cands is materialized + broadcastable, so the semi-join prunes
-      // the shingle pass to the candidate set)
-      val ids = cands.select(col("doc_a").as("doc_id"))
-        .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-      val sh = d.join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("__sh"))
+      // only docs that appear in a candidate pair need the projection.
+      // cands is materialized; when it is small the ids become an In
+      // filter PUSHED TO THE PARQUET SCAN (no semi-join, no shuffle);
+      // above the cap the distributed semi-join path takes over.
+      val base = {
+        val nPairs = cands.count()
+        if (nPairs <= 10000) {
+          val ids = cands.select(col("doc_a"), col("doc_b")).collect()
+            .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+          d.filter(col("doc_id").isin(ids.toSeq: _*))
+        } else {
+          val ids = cands.select(col("doc_a").as("doc_id"))
+            .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+          d.join(ids, Seq("doc_id"), "left_semi")
+        }
+      }
+      val sh = base.select(col("doc_id"), TextOps.shingleHashes(col("text")).as("__sh"))
       val sa = sh.select(col("doc_id").as("doc_a"), col("__sh").as("__sa"))
       val sb = sh.select(col("doc_id").as("doc_b"), col("__sh").as("__sb"))
       cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))

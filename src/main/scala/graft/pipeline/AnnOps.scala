@@ -144,27 +144,29 @@ object AnnOps {
     // re-attach once per side of the DEDUPED pair set by id equi-join —
     // each is fetched from the base table, which at scale is a columnar
     // (id, vec) projection co-partitioned by id.
-    val banded0 = emb.select(col(idCol),
+    // Bucket shape (round-3 rework, mirrors TextOps.minhashCandidates):
+    // one groupBy + collect_list pass builds each (band, sig) bucket;
+    // over-cap accounting is an action on the SMALL aggregated frame
+    // and singleton buckets never generate pairs. Per-bucket memory
+    // bounded by maxBucket ids; pair fan-out by maxBucket² (same bound
+    // as the previous two-sided self-join, minus one full shuffle of
+    // the banded frame and the separate bucket-size scan).
+    val buckets = emb.select(col(idCol),
       posexplode(bandSigsUdf(col(vecCol), lit(bands), lit(planesPerBand)))
-        .as(Seq("__band", "__sig"))).persist()
-    // over-cap buckets via partial-aggregated groupBy + tiny driver set
-    // (see TextOps.minhashCandidates — a window here shuffled and sorted
-    // the whole banded frame per call); empty set => no filter pass.
-    val overCap = banded0.groupBy(col("__band"), col("__sig")).count()
-      .filter(col("count") > maxBucket).collect()
-    val banded = if (overCap.isEmpty) banded0 else {
-      val nDropped = overCap.map(_.getLong(2)).sum
-      System.err.println(
-        s"[nearDupPairs] dropped $nDropped rows in ${overCap.length} over-cap buckets (cap=$maxBucket)")
-      val hot = overCap.map(r => (r.getInt(0), r.getLong(1))).toSet
-      val isHot = udf((band: Int, h: Long) => hot.contains((band, h)))
-      banded0.filter(!isHot(col("__band"), col("__sig")))
-    }
-    val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__sig"))
-    val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__sig"))
-    val cand = a.join(b, Seq("__band", "__sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+        .as(Seq("__band", "__sig")))
+      .groupBy(col("__band"), col("__sig"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .persist()
+    val over = buckets.filter(size(col("__ids")) > maxBucket)
+      .agg(count(lit(1)), coalesce(sum(size(col("__ids"))), lit(0))).collect()(0)
+    if (over.getLong(0) > 0)
+      System.err.println(s"[nearDupPairs] dropped ${over.getLong(1)} rows in " +
+        s"${over.getLong(0)} over-cap buckets (cap=$maxBucket)")
+    val cand = buckets.filter(size(col("__ids")) <= maxBucket)
+      .select(explode(bucketPairsUdf(col("__ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     val result = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
@@ -173,9 +175,22 @@ object AnnOps {
       .select("id_a", "id_b", "cos_sim")
       .persist()
     result.count()
-    banded0.unpersist(false)
+    buckets.unpersist(false)
     result
   }
+
+  /** all i<j id pairs within one bucket (sorted for canonical order). */
+  private val bucketPairsUdf = udf((ids: Seq[Long]) => {
+    val s = ids.toArray.sorted
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](s.length * (s.length - 1) / 2)
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.toSeq
+  })
 
   // ------------------------------------------------------------- IVF
 
