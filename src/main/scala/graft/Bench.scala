@@ -188,17 +188,21 @@ object Bench {
     *
     * Reported: wall time AND max single-task time for both runs (the
     * per-reducer melt is the mechanism), plus a rows-match flag. */
-  def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 6000000L): SkewResult = {
+  def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 8000000L): SkewResult = {
     import graft.functions.StareFunctions._
     // the city: 90% of the points in a ~0.5deg patch centered on ONE
     // level-6 trixel's center, so the hot rows share a single join key
     // (the cover cell containing the patch after the join's canonical
     // compression) — the melt a real city produces, undiluted across
-    // cell boundaries. Sizing: ~5.4M hot rows ≈ ~220 MB on one reducer,
-    // deliberately UNDER AQE skewJoin's 256 MB
+    // cell boundaries. Sizing: ~7.2M hot rows ≈ ~200 MB of shuffle
+    // bytes on one reducer, deliberately UNDER AQE skewJoin's 256 MB
     // skewedPartitionThresholdInBytes — the regime AQE (left ON here)
-    // does not cover and exact cell splitting does; above the threshold
-    // AQE already rescues the stage on its own.
+    // does not cover and exact cell splitting does. Raising n to 10M
+    // (measured) pushes the hot partition past that threshold and AQE
+    // equalizes the no-split run's max task itself (the two variants
+    // tie — the boundary, not a regression), while at 6M the melted
+    // sort (~3.5 s quiet) hid inside the fixed pipeline cost and noise
+    // decided the wall comparison.
     val (hotLat, hotLon) = graft.core.Htm.sidToCenter(
       graft.core.Htm.latLonToSid(10.5, 10.5, 6))
     val pts = spark.range(n)
@@ -237,16 +241,25 @@ object Bench {
       val gate = spec.skipReason.map(r => s"skipped: $r").getOrElse(
         s"engaged: ${spec.parents.length} parents -> levels ${spec.parents.flatMap(_.childLevels).distinct.sorted.mkString("/")}")
       run(None) // warm-up
-      // alternating best-of-3: the host carries external load spikes
-      // (observed: a 66 s max task for work that takes 4 s quiet, with
-      // loadavg jumping 4 -> 24 mid-section); alternation exposes both
-      // variants to the same conditions and min discards the spikes
-      val reps = (1 to 3).map { i =>
+      // Alternating rep pairs with CONTENTION-ADAPTIVE repetition: the
+      // host carries external load storms (observed: loadavg 7-17 with
+      // none of our processes, a 143 s max task for work that takes
+      // ~5 s quiet). Alternation exposes both variants to the same
+      // conditions; a rep pair that ran under a storm (loadavg above
+      // the gate after the pair) is kept but does not count toward the
+      // three clean pairs the measurement needs — up to 6 pairs total.
+      val cleanLoadGate = 8.0
+      val reps = scala.collection.mutable.ArrayBuffer.empty[((Double, Long, Double), (Double, Long, Double), Double)]
+      var clean = 0
+      while (clean < 3 && reps.length < 6) {
         val b = run(None)
         val s = run(Some(threshold))
-        System.err.println(f"[skew] rep $i: no-split ${b._1}%.2f s (max task ${b._3}%.2f), " +
-          f"split ${s._1}%.2f s (max task ${s._3}%.2f), loadavg ${loadavg()}%.2f")
-        (b, s)
+        val la = loadavg()
+        if (la < cleanLoadGate) clean += 1
+        System.err.println(f"[skew] rep ${reps.length + 1}: no-split ${b._1}%.2f s (max task ${b._3}%.2f), " +
+          f"split ${s._1}%.2f s (max task ${s._3}%.2f), loadavg $la%.2f" +
+          (if (la >= cleanLoadGate) " [storm — extra rep scheduled]" else ""))
+        reps += ((b, s, la))
       }
       pts.unpersist()
       val base = reps.map(_._1).minBy(_._1)

@@ -41,15 +41,17 @@ object Skew {
   /** Estimate per-cell point counts from a sample of the left side and
     * split cells whose projected population exceeds `maxRowsPerCell`.
     *
-    * The descent follows ACTUAL sampled descendant counts, not a
+    * Depth selection follows ACTUAL sampled descendant counts, not a
     * uniform-quartering assumption: real hot spots (cities) concentrate
     * in a corner of a coarse cell, so est/4-per-child systematically
     * under-descends — one child inherits nearly everything and the
     * reducer still melts (round-2's split demo lost partly for this).
     * Once the hot cells are known (first sample pass at the cover-cell
-    * levels), a second pass over the same sample counts their
-    * descendants at every candidate split level, and the recursion
-    * splits exactly the children that are actually heavy.
+    * levels), a second pass over the same (cached) sample counts their
+    * descendants at every candidate split level, and each parent splits
+    * to the ONE uniform depth at which its heaviest sampled descendant
+    * fits the cap (see the uniformChildren comment for why mixed
+    * depths backfire on the left shuffle).
     *
     * Split depth is capped at the EXACT minimum left-side sid level
     * (one narrow aggregation): a left sid coarser than a split cell
@@ -71,8 +73,11 @@ object Skew {
         case r if r.isNullAt(0) => Sid.MaxLevel // empty left: cap is irrelevant
         case r                  => r.getLong(0).toInt
       })
+    // persist the (small) sample: phase A and phase B both read it, and
+    // an uncached sample re-SCANS THE FULL LEFT SIDE per phase — at any
+    // scale the whole point of sampling is to pay the wide scan once
     val sample = left.sample(withReplacement = false, sampleFraction, seed = 42)
-      .select(col(leftSid).as("s"))
+      .select(col(leftSid).as("s")).persist()
     val keyed = sample.withColumn("k", explode(filter(
       array(levels.map(l => when(stareLevel(col("s")) >= l, stareClearTo(col("s"), l))): _*),
       c => c.isNotNull)))
@@ -87,6 +92,7 @@ object Skew {
     // rewrite is pure overhead whenever no reducer melts in the first
     // place). All inputs to the decision are already on the driver.
     def skip(reason: String): SplitResult = {
+      sample.unpersist(false)
       System.err.println(s"[skew] split skipped: no projected win — $reason")
       SplitResult(right, Seq.empty, levels, Some(reason))
     }
@@ -143,21 +149,34 @@ object Skew {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
     }
-    val countsAll = counts ++ childCounts
+    sample.unpersist(false)
 
-    // the split plan, fully decided on the driver from actual counts
-    def split(cell: Long, extra: Int): Seq[Long] = {
-      val estRows = countsAll.getOrElse(cell, 0L) * scale
-      if (estRows <= maxRowsPerCell || extra >= maxExtraLevels ||
-        Sid.level(cell) >= math.min(minLeftLevel, Sid.MaxLevel)) Seq(cell)
+    // The split plan, fully decided on the driver from actual counts.
+    //
+    // UNIFORM depth per parent — one level for all of a parent's
+    // children, the smallest whose heaviest SAMPLED descendant fits the
+    // cap. A mixed-depth plan (split only the heavy child deeper) looks
+    // cheaper on the right side but multiplies the LEFT shuffle: every
+    // hot row must emit one candidate key per distinct child level
+    // (only one finds a partner; the rest are shuffled dead weight) —
+    // measured 2x max-task REGRESSION at 8M rows when phase-B descended
+    // to 3 mixed levels. Uniform depth emits exactly ONE gated key per
+    // hot row: split shuffle volume equals no-split, and the extra
+    // right-side rows (≤ 4^depth tiny cells per parent) are free.
+    def uniformChildren(cell: Long): Seq[Long] = {
+      val l = Sid.level(cell)
+      val maxLv = math.min(l + maxExtraLevels, math.min(minLeftLevel, Sid.MaxLevel))
+      if (counts.getOrElse(cell, 0L) * scale <= maxRowsPerCell || maxLv <= l) Seq(cell)
       else {
-        val l = Sid.level(cell)
-        val lo = Sid.intervalLo(cell)
-        val childInc = Sid.increment(l + 1)
-        (0 until 4).flatMap(i => split((lo + i * childInc) | (l + 1), extra + 1))
+        val lv = ((l + 1) to maxLv).find { v =>
+          val heaviest = Sid.expandToLevel(Array(cell), v).iterator
+            .map(c => childCounts.getOrElse(c, 0L)).max
+          heaviest * scale <= maxRowsPerCell
+        }.getOrElse(maxLv)
+        Sid.expandToLevel(Array(cell), lv).toSeq
       }
     }
-    val plan: Map[Long, Seq[Long]] = cells.map(cell => cell -> split(cell, 0)).toMap
+    val plan: Map[Long, Seq[Long]] = cells.map(cell => cell -> uniformChildren(cell)).toMap
     val parents = plan.collect {
       case (cell, children) if children != Seq(cell) =>
         SplitParent(cell, Sid.level(cell), children.map(Sid.level).distinct.sorted.toArray)
