@@ -427,6 +427,28 @@ object SparkEntry {
           lit(rootAreaOk).as("root_area_ok"))
         .orderBy(col("doc_id"))
     }),
+    "q40_cover_overlap_join" -> ((s, dir) => {
+      // the GENERAL cover×cover stare_join (both containment
+      // directions, stable ids, pair dedup — not the broadcast point
+      // fast path): region covers joined against region covers prunes
+      // to pairs with intersecting covers (⊇ overlapping boxes, by the
+      // superset guarantee); the exact box-overlap predicate decides,
+      // and DuckDB recomputes it from the shared bounds literal.
+      import s.implicits._
+      def side(prefix: String) = regions.map(r =>
+        (r.name, r.lonMin, r.lonMax, r.latMin, r.latMax, r.wraps, regionCover(r).toSeq))
+        .toDF(s"${prefix}_name", s"${prefix}_lon_min", s"${prefix}_lon_max",
+          s"${prefix}_lat_min", s"${prefix}_lat_max", s"${prefix}_wraps", "sids")
+      val latOv = col("a_lat_min") <= col("b_lat_max") && col("b_lat_min") <= col("a_lat_max")
+      val lonOv = when(col("a_wraps") && col("b_wraps"), lit(true))
+        .when(col("a_wraps"), col("b_lon_max") >= col("a_lon_min") || col("b_lon_min") <= col("a_lon_max"))
+        .when(col("b_wraps"), col("a_lon_max") >= col("b_lon_min") || col("a_lon_min") <= col("b_lon_max"))
+        .otherwise(col("a_lon_min") <= col("b_lon_max") && col("b_lon_min") <= col("a_lon_max"))
+      StareJoin.join(side("a"), "sids", side("b"), "sids", how = "inner")
+        .filter(col("a_name") < col("b_name") && latOv && lonOv)
+        .select(col("a_name").as("name_a"), col("b_name").as("name_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
     "q39_frame_sample" -> ((s, dir) => {
       // multimodal one-to-many: each payload fans out into 1..7 frame
       // rows (count + hashes derive from the payload FNV — stub decode,
@@ -853,6 +875,17 @@ object SparkEntry {
       "q36_trixel_geometry" ->
         """SELECT doc_id, 8::BIGINT AS cell_level, true AS geom_ok, true AS root_area_ok
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q40_cover_overlap_join" ->
+        s"""SELECT a.region_name AS name_a, b.region_name AS name_b
+           |FROM $boxesSql a, $boxesSql b
+           |WHERE a.region_name < b.region_name
+           |  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
+           |  AND (CASE
+           |    WHEN a.wraps AND b.wraps THEN true
+           |    WHEN a.wraps THEN (b.lon_max >= a.lon_min OR b.lon_min <= a.lon_max)
+           |    WHEN b.wraps THEN (a.lon_max >= b.lon_min OR a.lon_min <= b.lon_max)
+           |    ELSE a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max END)
+           |ORDER BY 1, 2""".stripMargin,
       "q39_frame_sample" -> {
         val html = "'<html><body>' || text || '</body></html>'"
         val frameHash = "(hu * (frame_idx + 1)) % 18446744073709551616::HUGEINT"
