@@ -531,8 +531,15 @@ object SparkEntry {
   }
 
   /** one-pass geometry invariant for q36 (kernel cross-checks that have
-    * no SQL mirror; the oracle pins the constant-true outcome). */
-  private val trixelGeomOk = udf((cell: Long) => {
+    * no SQL mirror; the oracle pins the constant-true outcome).
+    * Memoized per cell on each executor: the input is the doc's
+    * level-8 cell, shared by many docs — without the memo the full
+    * geometry kernel (corners, gring, areas, child expansion) ran once
+    * per DOC instead of once per distinct cell. */
+  private val trixelGeomOkCache = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]()
+  private val trixelGeomOk = udf((cell: Long) =>
+    trixelGeomOkCache.computeIfAbsent(cell, c => Boolean.box(trixelGeomOkCompute(c))).booleanValue())
+  private def trixelGeomOkCompute(cell: Long): Boolean = {
     import graft.core.{Htm, Sid}
     def unit(v: Array[Double]) = math.abs(
       math.sqrt(v(0) * v(0) + v(1) * v(1) + v(2) * v(2)) - 1.0) < 1e-9
@@ -555,7 +562,7 @@ object SparkEntry {
     }
     corners.length == 3 && corners.forall(unit) && gringOk &&
       centerInside && areaOk && Htm.sidContainsPoint(cell, cLat, cLon)
-  })
+  }
 
   /** Σ area over the 8 level-0 trixels must be the full sphere (4π). */
   private lazy val rootAreaOk: Boolean = {

@@ -62,9 +62,14 @@ object Skew {
                             maxRowsPerCell: Long, sampleFraction: Double = 0.01,
                             maxExtraLevels: Int = 6,
                             knownMinLeftLevel: Option[Int] = None): SplitResult = {
-    // per-cell sample counts (cells normalized at own level)
-    val cells = right.select(explode(stareCompress(col(rightSids))).as("c"))
-      .select(stareClearToOwn(col("c")).as("c")).distinct().collect().map(_.getLong(0))
+    // per-cell sample counts (cells normalized at own level). The
+    // groupBy also yields the exploded (row, cell) PAIR count — the
+    // quantity the join actually shuffles/broadcasts (a distinct-cell
+    // count under-sizes a many-row cover side sharing few cells).
+    val cellRows = right.select(explode(stareCompress(col(rightSids))).as("c"))
+      .select(stareClearToOwn(col("c")).as("c")).groupBy("c").count().collect()
+    val cells = cellRows.map(_.getLong(0))
+    val rightPairCount = cellRows.map(_.getLong(1)).sum
     val levels = cells.map(Sid.level).distinct.sorted
     // callers that KNOW their point level (e.g. a level-26 indexed
     // table) pass it and skip the exact full-scan guard
@@ -106,9 +111,9 @@ object Skew {
             else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw) }
       catch { case _: Exception => 10485760L }
     }
-    if (bcastThreshold > 0 && cells.length.toLong * 32 <= bcastThreshold)
-      return skip(s"cover side (~${cells.length} cells) fits the broadcast " +
-        "threshold; the join has no per-key shuffle")
+    if (bcastThreshold > 0 && rightPairCount * 32 <= bcastThreshold)
+      return skip(s"cover side (~$rightPairCount exploded (row, cell) pairs) fits the " +
+        "broadcast threshold; the join has no per-key shuffle")
     // (2) the hottest cell must exceed the per-cell cap AND dominate a
     // fair reducer share by enough to beat the re-key overhead: a key
     // within ~2x the average reducer load doesn't bound the stage.
@@ -137,10 +142,23 @@ object Skew {
       }.distinct.sorted
       if (hotCells.isEmpty || candLevels.isEmpty) Map.empty
       else {
-        val inHot = hotByLevel.map { case (l, cs) =>
-          stareLevel(col("s")) >= l && stareClearTo(col("s"), l).isin(cs.toSeq: _*)
-        }.reduce(_ || _)
-        sample.filter(inHot)
+        // membership via a broadcast-in-closure Set UDF, NOT an
+        // OR-of-isin expression chain: thousands of hot cells would
+        // balloon the expression tree / generated code (64KB method
+        // limit), while a hash probe per level stays O(1) in plan size
+        val hotSets: Array[(Int, Set[Long])] =
+          hotByLevel.map { case (l, cs) => (l, cs.toSet) }.toArray
+        val inHotUdf = udf((s: Long) => {
+          var i = 0
+          var found = false
+          while (i < hotSets.length && !found) {
+            val (l, set) = hotSets(i)
+            found = Sid.level(s) >= l && set((s & Sid.clearMask(l)) | l.toLong)
+            i += 1
+          }
+          found
+        })
+        sample.filter(inHotUdf(col("s")))
           .withColumn("k", explode(filter(
             array(candLevels.map(lv =>
               when(stareLevel(col("s")) >= lv, stareClearTo(col("s"), lv))): _*),

@@ -82,19 +82,32 @@ object StareJoin {
                 how: String = "left", knownMinLeftLevel: Option[Int] = None,
                 maxBroadcastRows: Int = 1 << 20): DataFrame = {
     // Guard the by-design assumption instead of trusting the caller: the
-    // cover side is about to be collect()ed to the driver, and a caller
-    // passing a big frame would OOM the driver. limit+count is one tiny
-    // job (limit pushes into the scan); over the cap we delegate to the
-    // shuffle-path join, which shares the output contract.
-    if (right.limit(maxBroadcastRows + 1).count() > maxBroadcastRows)
-      return Skew.shuffleJoin(left, leftSid, right, rightSids, splitHot = None,
-        how = how, knownMinLeftLevel = knownMinLeftLevel)
+    // cover side is about to be collect()ed to the driver. One SMALL
+    // probe collect answers the common case (covers of a few rows)
+    // outright AND doubles as the byte-width sample; bigger sides pay
+    // one count plus a byte estimate before the full collect. A
+    // row-count-only guard would still OOM on count-compliant frames
+    // with fat payload rows, and the previous limit+count scheduled a
+    // second full evaluation of the right plan on every call. Over
+    // either cap we delegate to the shuffle-path join, which shares the
+    // output contract.
+    val spark = left.sparkSession
+    val probeCap = math.min(1000, maxBroadcastRows)
+    val probe = right.limit(probeCap + 1).collect()
+    val collected: Array[org.apache.spark.sql.Row] =
+      if (probe.length <= probeCap) probe
+      else {
+        val n = right.count()
+        val maxBroadcastBytes = 512L * 1024 * 1024
+        if (n > maxBroadcastRows || approxRowBytes(probe) * n > maxBroadcastBytes)
+          return Skew.shuffleJoin(left, leftSid, right, rightSids, splitHot = None,
+            how = how, knownMinLeftLevel = knownMinLeftLevel)
+        right.collect()
+      }
     // The cover side fits in a broadcast, so assign row ids
     // on the driver: deterministic across every reuse of the frame (no
     // monotonically_increasing_id re-evaluation hazard) and no lingering
     // persist() that pressures the executor cache across queries.
-    val spark = left.sparkSession
-    val collected = right.collect()
     val rightRows = {
       val schema = org.apache.spark.sql.types.StructType(
         right.schema.fields :+ org.apache.spark.sql.types.StructField("key_right", org.apache.spark.sql.types.LongType, nullable = false))
@@ -113,8 +126,15 @@ object StareJoin {
       .withColumn(RKey, stareClearToOwn(col("__rs")))
       .select(col("__rid"), col(RKey))
 
-    val keyRows = rightKeyed.select(RKey).distinct().collect()
-    val keySet = keyRows.map(_.getLong(0)).toSet
+    // cover cells per collected row, computed ONCE on the driver: they
+    // feed the key set, the level set, and the per-ROW expansion budget
+    // (a Spark distinct() job here re-evaluated the cover side again)
+    val sidsIdx = right.schema.fieldIndex(rightSids)
+    val perRowCells: Array[Array[Long]] = collected.map { r =>
+      val s = r.getSeq[Long](sidsIdx)
+      if (s == null) Array.emptyLongArray else Sid.compress(s.toArray)
+    }
+    val keySet = perRowCells.iterator.flatMap(_.iterator).map(Sid.clearToLevel).toSet
     if (keySet.isEmpty) {
       // every right cover is empty: inner -> no rows, left -> all-null
       // right columns (one row per left row)
@@ -132,7 +152,26 @@ object StareJoin {
     // counts. Expansion is per right row over disjoint cells, so pair
     // multiplicity is unchanged.
     val maxLevel = levels.last
-    val expansionCost = keySet.iterator.map(k => 1L << (2 * (maxLevel - Sid.level(k)))).sum
+    // Expansion cost summed over ROWS, not distinct keys: both
+    // dictionary plans explode the cover per right row, so duplicate
+    // covers multiply the broadcast — a distinct-key budget admitted
+    // 500k rows sharing one cell into a plan that would expand each of
+    // them. Early exit once over budget (also prevents Long overflow on
+    // extreme level spreads).
+    val keyBudget = 4L * 1024 * 1024
+    val expansionCost: Long = {
+      var cost = 0L
+      var i = 0
+      while (i < perRowCells.length && cost <= keyBudget) {
+        val cells = perRowCells(i)
+        var j = 0
+        while (j < cells.length && cost <= keyBudget) {
+          cost += 1L << (2 * (maxLevel - Sid.level(cells(j)))); j += 1
+        }
+        i += 1
+      }
+      cost
+    }
     // budgets: row-count cap (4M keys ~ 64 MB as bare (rid, key) pairs)
     // decides whether a uniform-level dictionary is viable at all; a
     // BYTE cap on expansionCost x measured-row-width decides whether the
@@ -142,7 +181,7 @@ object StareJoin {
     // expanded cell would otherwise build a multi-GB broadcast.
     val rowBytes = approxRowBytes(collected)
     val fullRowDictBytes = expansionCost * rowBytes
-    if (expansionCost <= 4 * 1024 * 1024 && fullRowDictBytes <= 256L * 1024 * 1024) {
+    if (expansionCost <= keyBudget && fullRowDictBytes <= 256L * 1024 * 1024) {
       // The dictionary carries the right ROW COLUMNS directly (suffixed
       // up front), so the probe is the ONLY pass over the big side —
       // routing just row ids and re-joining in assemble() cost a second
@@ -185,7 +224,7 @@ object StareJoin {
         Array(out("key_right")) ++ r.columns.filter(_ != "key_right").map(out(_))
       return out.select(ordered.toIndexedSeq: _*)
     }
-    if (expansionCost <= 4 * 1024 * 1024) {
+    if (expansionCost <= keyBudget) {
       // Slim dictionary: same single-probe key plan, but the broadcast
       // carries only (rid, key) pairs; the right row columns re-attach in
       // assemble() via a second (cheap — the dictionary already filtered)

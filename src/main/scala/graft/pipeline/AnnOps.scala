@@ -164,7 +164,7 @@ object AnnOps {
       System.err.println(s"[nearDupPairs] dropped ${over.getLong(1)} rows in " +
         s"${over.getLong(0)} over-cap buckets (cap=$maxBucket)")
     val cand = buckets.filter(size(col("__ids")) <= maxBucket)
-      .select(explode(bucketPairsUdf(col("__ids"))).as("p"))
+      .select(explode(TextOps.bucketPairs(col("__ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
@@ -179,18 +179,6 @@ object AnnOps {
     result
   }
 
-  /** all i<j id pairs within one bucket (sorted for canonical order). */
-  private val bucketPairsUdf = udf((ids: Seq[Long]) => {
-    val s = ids.toArray.sorted
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](s.length * (s.length - 1) / 2)
-    var i = 0
-    while (i < s.length) {
-      var j = i + 1
-      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
-      i += 1
-    }
-    out.toSeq
-  })
 
   // ------------------------------------------------------------- IVF
 
@@ -206,7 +194,9 @@ object AnnOps {
                      iters: Int = 10, sampleCap: Int = 10000): Array[Array[Double]] = {
     val n = emb.count()
     val step = math.max(1L, n / sampleCap)
-    val sample = emb.filter(col(idCol) % step === 0)
+    // hash-based thinning, NOT id % step: ids are opaque (all-odd or
+    // sparse id sets would make a modulo filter return nothing/bias)
+    val sample = emb.filter(pmod(xxhash64(col(idCol)), lit(step)) === 0)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       .map(normalize).filter(_ != null)

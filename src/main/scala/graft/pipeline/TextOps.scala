@@ -275,7 +275,7 @@ object TextOps {
 
   /** all i<j id pairs within one bucket (ids sorted first so pair order
     * is canonical); fan-out bounded by the caller's bucket cap. */
-  private val bucketPairs = udf((ids: Seq[Long]) => {
+  private[pipeline] val bucketPairs = udf((ids: Seq[Long]) => {
     val s = ids.toArray.sorted
     val out = new ArrayBuffer[(Long, Long)](s.length * (s.length - 1) / 2)
     var i = 0
