@@ -60,7 +60,15 @@ object Bench {
           println(s"""{"join_rows":$joinRows,"join_sec":$joinSec}""")
         case "skew" =>
           val r = skewThroughput(spark, sfDir)
-          println(r.toJson)
+          println(r.toJson("skew_"))
+        case "skewmelt" =>
+          // the decisive melt demo: 24M rows, AQE's skew splitter OFF
+          // for BOTH runs — the mechanism targets skew AQE cannot reach
+          // (sub-threshold partitions, non-join keyed stages), and at
+          // this size the melted sort (~15 s) dwarfs host noise
+          val r = skewThroughput(spark, sfDir, n = 24000000L,
+            aqeSkewJoin = false, cleanTarget = 2, maxPairs = 3)
+          println(r.toJson("skew_"))
         case other => sys.error(s"unknown bench child mode: $other")
       }
       spark.stop()
@@ -102,17 +110,26 @@ object Bench {
     System.err.println(f"[bench] join_throughput: $joinRows rows in $joinSec%.2f s = ${joinRows / joinSec}%.0f rows/s")
 
     val loadSkew0 = loadavg()
-    val skewJson = runChild("skew", sfDir, cpus, amplify)
+    // headline skew evidence = the melt demo (24M, AQE skew splitter
+    // off for both runs); the sub-threshold AQE-on pair at 8M is
+    // reported alongside under skew_subthreshold_* keys
+    val skewJson = runChild("skewmelt", sfDir, cpus, amplify)
     val loadSkew1 = loadavg()
-    System.err.println(s"[bench] skew: $skewJson")
+    System.err.println(s"[bench] skew (melt demo): $skewJson")
+    val loadSkewSub0 = loadavg()
+    val skewSubJson = runChild("skew", sfDir, cpus, amplify)
+      .replace("\"skew_", "\"skew_subthreshold_")
+    val loadSkewSub1 = loadavg()
+    System.err.println(s"[bench] skew (sub-threshold, AQE on): $skewSubJson")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""join_rows":$joinRows,"join_sec":$joinSec,"join_rows_per_sec":${(joinRows / joinSec).toLong},""" +
       skewJson.stripPrefix("{").stripSuffix("}") + "," +
+      skewSubJson.stripPrefix("{").stripSuffix("}") + "," +
       s""""pods_write_sec":$podsWriteSec,"pods_resume_sec":$podsResumeSec,""" +
-      s""""loadavg_sweep":[$loadSweep0,$loadSweep1],"loadavg_join":[$loadJoin0,$loadJoin1],"loadavg_skew":[$loadSkew0,$loadSkew1],""" +
+      s""""loadavg_sweep":[$loadSweep0,$loadSweep1],"loadavg_join":[$loadJoin0,$loadJoin1],"loadavg_skew":[$loadSkew0,$loadSkew1],"loadavg_skew_subthreshold":[$loadSkewSub0,$loadSkewSub1],""" +
       s""""cpus":$cpus}""")
     spark.stop()
   }
@@ -162,10 +179,10 @@ object Bench {
   final case class SkewResult(rows: Long, noSplitSec: Double, splitSec: Double,
                               noSplitMaxTaskSec: Double, splitMaxTaskSec: Double,
                               rowsMatch: Boolean, gate: String) {
-    def toJson: String =
-      s"""{"skew_rows":$rows,"skew_nosplit_sec":$noSplitSec,"skew_split_sec":$splitSec,""" +
-        s""""skew_nosplit_max_task_sec":$noSplitMaxTaskSec,"skew_split_max_task_sec":$splitMaxTaskSec,""" +
-        s""""skew_rows_match":$rowsMatch,"skew_split_gate":"$gate"}"""
+    def toJson(p: String): String =
+      s"""{"${p}rows":$rows,"${p}nosplit_sec":$noSplitSec,"${p}split_sec":$splitSec,""" +
+        s""""${p}nosplit_max_task_sec":$noSplitMaxTaskSec,"${p}split_max_task_sec":$splitMaxTaskSec,""" +
+        s""""${p}rows_match":$rowsMatch,"${p}split_gate":"$gate"}"""
   }
 
   /** Skew evidence (north rule: hot cells — cities, coastlines — must
@@ -188,7 +205,9 @@ object Bench {
     *
     * Reported: wall time AND max single-task time for both runs (the
     * per-reducer melt is the mechanism), plus a rows-match flag. */
-  def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 8000000L): SkewResult = {
+  def skewThroughput(spark: SparkSession, sfDir: String, n: Long = 8000000L,
+                     aqeSkewJoin: Boolean = true, cleanTarget: Int = 3,
+                     maxPairs: Int = 6): SkewResult = {
     import graft.functions.StareFunctions._
     // the city: 90% of the points in a ~0.5deg patch centered on ONE
     // level-6 trixel's center, so the hot rows share a single join key
@@ -233,7 +252,17 @@ object Bench {
       (sec, c, listener.maxTaskMs / 1e3)
     }
     val priorBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val priorAqeSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    val priorCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkewJoin.toString)
+    // AQE coalescing merges reducers by COMPRESSED shuffle bytes, and a
+    // single dominant key compresses absurdly well (21.6M identical
+    // longs -> ~5 MB): the whole reduce collapses to 1-2 serial tasks
+    // for BOTH variants, hiding the key-level mechanism this bench
+    // measures (and a real production hazard: compressed sizes lie
+    // about row counts under skew). Both runs get byte-coalescing off.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
       // gate decision, captured untimed (deterministic: seed-42 sample)
       val spec = graft.operators.Skew.splitHotCellsWithSpec(pts, "sid", covers, "sids",
@@ -251,7 +280,7 @@ object Bench {
       val cleanLoadGate = 8.0
       val reps = scala.collection.mutable.ArrayBuffer.empty[((Double, Long, Double), (Double, Long, Double), Double)]
       var clean = 0
-      while (clean < 3 && reps.length < 6) {
+      while (clean < cleanTarget && reps.length < maxPairs) {
         val b = run(None)
         val s = run(Some(threshold))
         val la = loadavg()
@@ -268,6 +297,8 @@ object Bench {
       SkewResult(n, base._1, split._1, base._3, split._3, rowsMatch, gate)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", priorAqeSkew)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", priorCoalesce)
       spark.sparkContext.removeSparkListener(listener)
     }
   }

@@ -252,26 +252,58 @@ object Skew {
       .withColumn("__rk", stareClearToOwn(col("__rs")))
       .select(col("__rid"), col("__rk"))
     val parents = splitRes.map(_.parents).getOrElse(Seq.empty)
-    // levels probed unconditionally: every cell level when no split ran,
-    // otherwise the kept-whole cells' levels. Split-child levels already
-    // in the base set are matched by the base key (no gated duplicate —
-    // a duplicate key value would double pairs); levels introduced ONLY
+    // level histogram of the keyed right cells: feeds the base level
+    // set AND the uniform-rebase budget in one small job (previously a
+    // distinct-only collect).
+    val levelHist: Map[Int, Long] = rightKeyed
+      .groupBy(stareLevel(col("__rk")).as("__l")).count()
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val keptLevels: Array[Int] = splitRes.map(_.keptLevels)
+      .getOrElse(levelHist.keys.toArray.sorted)
+    // ---- uniform-level rebase: the pointJoin dictionary lesson applied
+    // to the shuffle path. A multi-level cover makes every left row
+    // derive one key PER COVER LEVEL — the big side's shuffle volume
+    // multiplies by |levels| (measured 4-5x at the skew bench, where it
+    // dwarfed the reducer melt the bench exists to show). Expanding
+    // every kept cell to the finest kept level multiplies only the
+    // small keyed right side (budget-gated) and each left row derives
+    // exactly ONE base key. Pair multiplicity is unchanged: cells are
+    // disjoint, so a row's covering cell expands to exactly the one
+    // uniform cell that still covers it.
+    val rebaseBudget = 16L * 1024 * 1024
+    val target = if (keptLevels.isEmpty) 0 else keptLevels.max
+    val rebaseCost = keptLevels.filter(_ < target).map(l =>
+      levelHist.getOrElse(l, 0L) << (2 * (target - l))).sum
+    val rebased = keptLevels.length > 1 && rebaseCost <= rebaseBudget
+    val rightKeyedFinal =
+      if (!rebased) rightKeyed
+      else {
+        val rebase = udf((c: Long) =>
+          if (Sid.level(c) < target) Sid.expandToLevel(Array(c), target) else Array(c))
+        rightKeyed.withColumn("__rk", explode(rebase(col("__rk"))))
+      }
+    // base levels probed unconditionally; split-child levels already in
+    // the base set are matched by the base key (no gated duplicate — a
+    // duplicate key value would double pairs); levels introduced ONLY
     // by splitting are probed under their parent's membership gate, so
     // non-hot rows never pay for them. A row lies in at most one parent
     // (cells are disjoint), so gates cannot duplicate a level either.
-    val baseLevels: Array[Int] = splitRes.map(_.keptLevels).getOrElse(
-      rightKeyed.select(stareLevel(col("__rk")).as("l")).distinct()
-        .collect().map(_.getLong(0).toInt).sorted)
+    // Under a rebase, child cells at/below the target were expanded to
+    // the target like any kept cell, so only deeper-than-target child
+    // levels keep their gates.
+    val baseLevels: Array[Int] = if (rebased) Array(target) else keptLevels
     val baseSet = baseLevels.toSet
     def keyExprs: Seq[Column] = {
       val base = baseLevels.toSeq.map(lv =>
         when(stareLevel(col(leftSid)) >= lv, stareClearTo(col(leftSid), lv)))
       val gated = parents.flatMap { p =>
-        p.childLevels.filter(lv => !baseSet.contains(lv)).map { lv =>
-          when(stareLevel(col(leftSid)) >= lv &&
-            stareClearTo(col(leftSid), p.level) === p.cell,
-            stareClearTo(col(leftSid), lv))
-        }
+        p.childLevels
+          .filter(lv => if (rebased) lv > target else !baseSet.contains(lv))
+          .map { lv =>
+            when(stareLevel(col(leftSid)) >= lv &&
+              stareClearTo(col(leftSid), p.level) === p.cell,
+              stareClearTo(col(leftSid), lv))
+          }
       }
       base ++ gated
     }
@@ -281,7 +313,7 @@ object Skew {
     // skew-join splitter handles residual imbalance
     how match {
       case "inner" =>
-        val joined = keyedLeft(left).join(rightKeyed, col("__lk") === col("__rk"), "inner")
+        val joined = keyedLeft(left).join(rightKeyedFinal, col("__lk") === col("__rk"), "inner")
           .drop("__lk", "__rk")
         StareJoin.assemble(joined, rightRows, how = "inner", broadcastRight = false)
       case "left" =>
@@ -289,7 +321,7 @@ object Skew {
         // pairs are already unique), then re-attach unmatched left rows
         val leftIds = StareJoin.withStableId(left, "__stare_lid")
         val pairs = keyedLeft(leftIds.select(col("__stare_lid"), col(leftSid)))
-          .join(rightKeyed, col("__lk") === col("__rk"), "inner")
+          .join(rightKeyedFinal, col("__lk") === col("__rk"), "inner")
           .select(col("__stare_lid"), col("__rid"))
         val joined = leftIds.join(pairs, Seq("__stare_lid"), "left").drop("__stare_lid")
         StareJoin.assemble(joined, rightRows, how = "left", broadcastRight = false)
