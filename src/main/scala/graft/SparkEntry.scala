@@ -166,22 +166,24 @@ object SparkEntry {
       // (8 B/shingle) instead of shipping the full text twice and
       // re-shingling both sides per pair.
       val d = s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
-      val cands = TextOps.minhashCandidates(d)
+      // candidate generation + over-cap accounting + small/large routing
+      // in TWO Spark actions total (r3 verdict item 2: the previous
+      // count + conditional collect on top of the library's own two
+      // actions made q15's cold path ~18 jobs of scheduling latency)
+      val cs = TextOps.minhashCandidateSet(d)
+      val cands = cs.pairs
       // only docs that appear in a candidate pair need the projection.
-      // cands is materialized; when it is small the ids become an In
-      // filter PUSHED TO THE PARQUET SCAN (no semi-join, no shuffle);
-      // above the cap the distributed semi-join path takes over.
-      val base = {
-        val nPairs = cands.count()
-        if (nPairs <= 10000) {
-          val ids = cands.select(col("doc_a"), col("doc_b")).collect()
-            .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      // When the pair set is small the ids become an In filter PUSHED TO
+      // THE PARQUET SCAN (no semi-join, no shuffle); above the cap the
+      // distributed semi-join path takes over.
+      val base = cs.localPairs match {
+        case Some(local) =>
+          val ids = local.flatMap(p => Seq(p._1, p._2)).distinct
           d.filter(col("doc_id").isin(ids.toSeq: _*))
-        } else {
+        case None =>
           val ids = cands.select(col("doc_a").as("doc_id"))
             .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
           d.join(ids, Seq("doc_id"), "left_semi")
-        }
       }
       val sh = base.select(col("doc_id"), TextOps.shingleHashes(col("text")).as("__sh"))
       val sa = sh.select(col("doc_id").as("doc_a"), col("__sh").as("__sa"))

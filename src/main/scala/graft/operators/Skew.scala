@@ -34,9 +34,13 @@ object Skew {
   /** `keptLevels` = levels of cells kept whole (probed unconditionally);
     * split-child levels NOT in keptLevels are probed only under their
     * parent's gate. `skipReason` is set when the cost gate decided
-    * splitting cannot win (right is returned unchanged, parents empty). */
+    * splitting cannot win (right is returned unchanged, parents empty).
+    * `minLeftLevel` = the exact minimum left-side sid level the spec was
+    * computed against — callers (shuffleJoin's uniform rebase) reuse it
+    * instead of re-aggregating the left side. */
   final case class SplitResult(right: DataFrame, parents: Seq[SplitParent],
-                               keptLevels: Array[Int], skipReason: Option[String] = None)
+                               keptLevels: Array[Int], skipReason: Option[String] = None,
+                               minLeftLevel: Int = Sid.MaxLevel)
 
   /** Estimate per-cell point counts from a sample of the left side and
     * split cells whose projected population exceeds `maxRowsPerCell`.
@@ -61,7 +65,10 @@ object Skew {
                             right: DataFrame, rightSids: String,
                             maxRowsPerCell: Long, sampleFraction: Double = 0.01,
                             maxExtraLevels: Int = 6,
-                            knownMinLeftLevel: Option[Int] = None): SplitResult = {
+                            knownMinLeftLevel: Option[Int] = None,
+                            wallClockGate: Boolean = true,
+                            assumedReduceRowsPerSec: Double = 2e6,
+                            assumedFixedOverheadSec: Double = 4.0): SplitResult = {
     // per-cell sample counts (cells normalized at own level). The
     // groupBy also yields the exploded (row, cell) PAIR count — the
     // quantity the join actually shuffles/broadcasts (a distinct-cell
@@ -99,7 +106,7 @@ object Skew {
     def skip(reason: String): SplitResult = {
       sample.unpersist(false)
       System.err.println(s"[skew] split skipped: no projected win — $reason")
-      SplitResult(right, Seq.empty, levels, Some(reason))
+      SplitResult(right, Seq.empty, levels, Some(reason), minLeftLevel)
     }
     val conf = left.sparkSession.conf
     // (1) a cover-key side under the broadcast threshold never shuffles
@@ -128,6 +135,23 @@ object Skew {
       return skip(f"hottest cell ~${estHot}%.0f rows is within 2x the fair " +
         f"reducer share (~$fairShare%.0f of ~$estTotal%.0f matched rows over " +
         f"$shufflePartitions partitions); reducers are already balanced")
+    // (3) wall-clock projection (r3 verdict item 6): a melted reducer
+    // that only bounds the stage by a couple of seconds cannot repay the
+    // split machinery's fixed overhead (sampling jobs + cover rewrite +
+    // gated key derivation — ~4 s measured at the r3 sub-threshold bench,
+    // where the split won max-task but tied/lost wall). Projected saving
+    // = the melt the hot reducer carries beyond its fair share, at the
+    // measured reducer sort rate (~2M rows/s, BENCH.md). Mechanism/unit
+    // tests and callers that want max-task balance regardless of wall
+    // clock pass wallClockGate = false.
+    if (wallClockGate) {
+      val projectedSaveSec = (estHot - fairShare) / assumedReduceRowsPerSec
+      if (projectedSaveSec <= assumedFixedOverheadSec)
+        return skip(f"projected wall-clock saving ~$projectedSaveSec%.1f s " +
+          f"((hot ~${estHot}%.0f - fair ~$fairShare%.0f rows) / " +
+          f"${assumedReduceRowsPerSec}%.0f rows/s) does not cover the " +
+          f"~$assumedFixedOverheadSec%.1f s fixed split overhead")
+    }
 
     // Phase B: descendant counts of the HOT cells only, from the same
     // sample — one more narrow job over hot-membership rows. The
@@ -207,16 +231,21 @@ object Skew {
       val canon = Sid.compress(sids.toArray)
       canon.flatMap(c => plan.getOrElse(Sid.clearToLevel(c), Seq(Sid.clearToLevel(c))))
     })
-    SplitResult(right.withColumn(rightSids, rewriteUdf(col(rightSids))), parents, keptLevels)
+    SplitResult(right.withColumn(rightSids, rewriteUdf(col(rightSids))), parents, keptLevels,
+      minLeftLevel = minLeftLevel)
   }
 
-  /** Back-compat wrapper returning only the rewritten cover frame. */
+  /** Back-compat wrapper returning only the rewritten cover frame.
+    * Defaults forward to splitHotCellsWithSpec's (an explicit shallower
+    * maxExtraLevels here silently under-split for wrapper callers). */
   def splitHotCells(left: DataFrame, leftSid: String,
                     right: DataFrame, rightSids: String,
                     maxRowsPerCell: Long, sampleFraction: Double = 0.01,
-                    maxExtraLevels: Int = 4): DataFrame =
+                    maxExtraLevels: Int = 6,
+                    wallClockGate: Boolean = true): DataFrame =
     splitHotCellsWithSpec(left, leftSid, right, rightSids,
-      maxRowsPerCell, sampleFraction, maxExtraLevels).right
+      maxRowsPerCell, sampleFraction, maxExtraLevels,
+      wallClockGate = wallClockGate).right
 
   /** Shuffle-path spatial join for cover sides too large to broadcast:
     * sort-merge/shuffled-hash equi-join on the prefix keys with AQE skew
@@ -229,13 +258,14 @@ object Skew {
     * cached after the query completes. */
   def shuffleJoin(left: DataFrame, leftSid: String, right: DataFrame, rightSids: String,
                   splitHot: Option[Long] = None, how: String = "inner",
-                  knownMinLeftLevel: Option[Int] = None): DataFrame = {
+                  knownMinLeftLevel: Option[Int] = None,
+                  wallClockGate: Boolean = true): DataFrame = {
     // ids first, split-rewrite second: the assembled output carries the
     // ORIGINAL cover rows; only the join-key derivation sees split cells
     val rightRows = StareJoin.withStableId(right, "key_right")
     val splitRes = splitHot
       .map(t => splitHotCellsWithSpec(left, leftSid, rightRows, rightSids, t,
-        knownMinLeftLevel = knownMinLeftLevel))
+        knownMinLeftLevel = knownMinLeftLevel, wallClockGate = wallClockGate))
     val rKeySource = splitRes.map(_.right).getOrElse(rightRows)
     // did the rewrite actually run, or did the cost gate skip it?
     val splitApplied = splitRes.exists(_.skipReason.isEmpty)
@@ -265,16 +295,45 @@ object Skew {
     // derive one key PER COVER LEVEL — the big side's shuffle volume
     // multiplies by |levels| (measured 4-5x at the skew bench, where it
     // dwarfed the reducer melt the bench exists to show). Expanding
-    // every kept cell to the finest kept level multiplies only the
+    // every kept cell to the finest ELIGIBLE level multiplies only the
     // small keyed right side (budget-gated) and each left row derives
-    // exactly ONE base key. Pair multiplicity is unchanged: cells are
-    // disjoint, so a row's covering cell expands to exactly the one
-    // uniform cell that still covers it.
+    // ONE base key per remaining base level. Pair multiplicity is
+    // unchanged: cells are disjoint, so a row's covering cell expands
+    // to exactly the one uniform cell that still covers it.
+    //
+    // The target is capped at the exact minimum LEFT sid level (ADVICE
+    // r4 HIGH): a left row with sid level >= a cover cell's level but
+    // < target matched that cell via its base-level key before the
+    // rebase; expanding the cell past the row's own level would leave
+    // the row keyless (when(stareLevel >= target) -> null) and silently
+    // drop the pair. Cells FINER than the capped target keep their own
+    // base levels (they can only match left rows at least that fine,
+    // which the per-level guard already expresses).
     val rebaseBudget = 16L * 1024 * 1024
-    val target = if (keptLevels.isEmpty) 0 else keptLevels.max
-    val rebaseCost = keptLevels.filter(_ < target).map(l =>
-      levelHist.getOrElse(l, 0L) << (2 * (target - l))).sum
-    val rebased = keptLevels.length > 1 && rebaseCost <= rebaseBudget
+    val minLeftLevel: Int = knownMinLeftLevel
+      .orElse(splitRes.map(_.minLeftLevel))
+      .getOrElse {
+        if (keptLevels.length <= 1) Sid.MaxLevel // no rebase to consider
+        else left.agg(min(stareLevel(col(leftSid)))).collect()(0) match {
+          case r if r.isNullAt(0) => Sid.MaxLevel
+          case r                  => r.getLong(0).toInt
+        }
+      }
+    val target = math.min(if (keptLevels.isEmpty) 0 else keptLevels.max, minLeftLevel)
+    // saturating cost: levelHist counts exploded (row, cell) pairs
+    // (unbounded), and a wide level spread shifts far past 62 bits — an
+    // overflowed (negative) sum must read as "infinite cost", not as a
+    // budget pass (ADVICE r4 medium)
+    val rebaseCost = keptLevels.filter(_ < target).foldLeft(0L) { (acc, l) =>
+      val shift = 2 * (target - l)
+      val cnt = levelHist.getOrElse(l, 0L)
+      val cellCost =
+        if (shift >= 62 || (shift > 0 && cnt > (Long.MaxValue >> shift))) Long.MaxValue
+        else cnt << shift
+      val sum = acc + cellCost
+      if (sum < acc) Long.MaxValue else sum // addition overflow -> saturate
+    }
+    val rebased = keptLevels.count(_ <= target) > 1 && rebaseCost <= rebaseBudget
     val rightKeyedFinal =
       if (!rebased) rightKeyed
       else {
@@ -290,15 +349,17 @@ object Skew {
     // (cells are disjoint), so gates cannot duplicate a level either.
     // Under a rebase, child cells at/below the target were expanded to
     // the target like any kept cell, so only deeper-than-target child
-    // levels keep their gates.
-    val baseLevels: Array[Int] = if (rebased) Array(target) else keptLevels
+    // levels (not already covered by a finer-than-target base level)
+    // keep their gates.
+    val baseLevels: Array[Int] =
+      if (rebased) (target +: keptLevels.filter(_ > target)).distinct.sorted else keptLevels
     val baseSet = baseLevels.toSet
     def keyExprs: Seq[Column] = {
       val base = baseLevels.toSeq.map(lv =>
         when(stareLevel(col(leftSid)) >= lv, stareClearTo(col(leftSid), lv)))
       val gated = parents.flatMap { p =>
         p.childLevels
-          .filter(lv => if (rebased) lv > target else !baseSet.contains(lv))
+          .filter(lv => (!rebased || lv > target) && !baseSet.contains(lv))
           .map { lv =>
             when(stareLevel(col(leftSid)) >= lv &&
               stareClearTo(col(leftSid), p.level) === p.cell,

@@ -130,7 +130,7 @@ object AnnOps {
     * per-bucket O(n²) at any corpus size. */
   def nearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
                    bands: Int = 16, planesPerBand: Int = 4, minCosine: Double = 0.95,
-                   maxBucket: Long = 100000L): DataFrame = {
+                   maxBucket: Long = 10000L): DataFrame = {
     // signatures are the expensive pass: cache them so the bucket-size
     // scan and the pair join read them once, then materialize the
     // (small) pair result and release the cache — nothing expensive is
@@ -163,10 +163,10 @@ object AnnOps {
     if (over.getLong(0) > 0)
       System.err.println(s"[nearDupPairs] dropped ${over.getLong(1)} rows in " +
         s"${over.getLong(0)} over-cap buckets (cap=$maxBucket)")
-    val cand = buckets.filter(size(col("__ids")) <= maxBucket)
-      .select(explode(TextOps.bucketPairs(col("__ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
+    // pairs are STREAMED through two generators, never materialized as a
+    // per-bucket buffer (see TextOps.pairsFromBuckets)
+    val cand = TextOps.pairsFromBuckets(
+      buckets.filter(size(col("__ids")) <= maxBucket), "__ids", "id_a", "id_b")
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     val result = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))

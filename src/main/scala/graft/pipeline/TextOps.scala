@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import scala.collection.mutable.ArrayBuffer
 
 /** Training-data text operators over the `documents`/webtext tables:
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), language
@@ -239,7 +238,25 @@ object TextOps {
     * are dropped and counted to stderr — the O(bucket²) blowup is
     * bounded by cap² per bucket at any corpus size. */
   def minhashCandidates(docs: DataFrame, k: Int = 3, perms: Int = 36, bands: Int = 12,
-                        maxBucket: Long = 100000L): DataFrame = {
+                        maxBucket: Long = 10000L): DataFrame =
+    minhashCandidateSet(docs, k, perms, bands, maxBucket).pairs
+
+  /** Candidate pairs plus the accounting the caller needs, in TWO Spark
+    * actions total (r3 verdict item 2: the previous shape ran the
+    * over-cap agg, a pair materialization count, and left the caller to
+    * re-count and re-collect — ~4 actions of pure cold-path latency).
+    *
+    * `localPairs` is populated when the i<j pair UPPER BOUND (computed in
+    * the same action as the over-cap stats) fits `smallPairCap`: the
+    * caller can then push the ids straight into a parquet-scan In filter
+    * with no further job against the candidate frame. Above the cap the
+    * pairs stay distributed (materialized, so downstream reuse does not
+    * recompute the text scan) and `localPairs` is None. */
+  final case class CandidateSet(pairs: DataFrame, localPairs: Option[Array[(Long, Long)]],
+                                droppedBuckets: Long, droppedRows: Long)
+
+  def minhashCandidateSet(docs: DataFrame, k: Int = 3, perms: Int = 36, bands: Int = 12,
+                          maxBucket: Long = 10000L, smallPairCap: Long = 10000L): CandidateSet = {
     require(perms % bands == 0, s"perms=$perms not divisible by bands=$bands")
     // Bucket shape (round-3 rework): ONE groupBy + collect_list pass
     // builds each (band, bandhash) bucket — the previous two-sided
@@ -248,9 +265,8 @@ object TextOps {
     // over-cap accounting is a cheap action on the SMALL bucket frame
     // and singleton buckets (the overwhelming majority) are dropped
     // before any pair is generated. Per-bucket memory is bounded by
-    // maxBucket ids (8 B each); per-bucket pair fan-out by maxBucket²,
-    // identical to the join formulation's output bound. Cold-path
-    // effect at sf0.1: 19 Spark jobs -> ~8 for the whole q15 plan.
+    // maxBucket ids (8 B each); per-bucket pair fan-out by maxBucket².
+    val spark = docs.sparkSession
     val buckets = docs
       .select(col("doc_id"), posexplode(minhashBandHashes(col("text"), k, perms, bands))
         .as(Seq("band", "bandhash")))
@@ -258,34 +274,50 @@ object TextOps {
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .persist()
-    val over = buckets.filter(size(col("ids")) > maxBucket)
-      .agg(count(lit(1)), coalesce(sum(size(col("ids"))), lit(0))).collect()(0)
-    if (over.getLong(0) > 0)
-      System.err.println(s"[minhashCandidates] dropped ${over.getLong(1)} rows in " +
-        s"${over.getLong(0)} over-cap buckets (cap=$maxBucket)")
-    val result = buckets.filter(size(col("ids")) <= maxBucket)
-      .select(explode(bucketPairs(col("ids"))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
-      .distinct()
-      .persist()
-    result.count()
-    buckets.unpersist(false)
-    result
+    // ONE action: over-cap stats AND the kept-bucket pair upper bound
+    val n = size(col("ids")).cast("long")
+    val st = buckets.agg(
+      coalesce(sum(when(n > maxBucket, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(n > maxBucket, n).otherwise(0L)), lit(0L)),
+      // NB: Column./ is double division; n*(n-1) is even, so >> 1 is exact
+      coalesce(sum(when(n <= maxBucket, shiftright(n * (n - 1), 1)).otherwise(0L)),
+        lit(0L))).collect()(0)
+    val (overBuckets, overRows, pairBound) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    if (overBuckets > 0)
+      System.err.println(s"[minhashCandidates] dropped $overRows rows in " +
+        s"$overBuckets over-cap buckets (cap=$maxBucket)")
+    val pairsPlan = pairsFromBuckets(buckets.filter(n <= maxBucket), "ids", "doc_a", "doc_b")
+    if (pairBound <= smallPairCap) {
+      // small case: collect the deduped pairs (second and last action),
+      // release the cache, and hand back a LOCAL frame — downstream
+      // joins broadcast it for free and no job ever touches the
+      // candidate plan again
+      val local = pairsPlan.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      buckets.unpersist(false)
+      import spark.implicits._
+      CandidateSet(local.toSeq.toDF("doc_a", "doc_b"), Some(local), overBuckets, overRows)
+    } else {
+      val result = pairsPlan.persist()
+      result.count()
+      buckets.unpersist(false)
+      CandidateSet(result, None, overBuckets, overRows)
+    }
   }
 
-  /** all i<j id pairs within one bucket (ids sorted first so pair order
-    * is canonical); fan-out bounded by the caller's bucket cap. */
-  private[pipeline] val bucketPairs = udf((ids: Seq[Long]) => {
-    val s = ids.toArray.sorted
-    val out = new ArrayBuffer[(Long, Long)](s.length * (s.length - 1) / 2)
-    var i = 0
-    while (i < s.length) {
-      var j = i + 1
-      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
-      i += 1
-    }
-    out.toSeq
-  })
+  /** i<j id pairs of every bucket, STREAMED through two generators
+    * (explode × explode + filter) instead of materialized per bucket: a
+    * near-cap bucket's n²/2 pairs never exist as one in-memory buffer
+    * (the UDF formulation allocated tens of GB on duplicate-heavy
+    * corpora — exactly the dedup workload), they flow row-by-row into
+    * the downstream shuffle. Fan-out stays bounded by the caller's
+    * bucket cap; dedup across buckets is the one distinct() shuffle. */
+  private[pipeline] def pairsFromBuckets(buckets: DataFrame, idsCol: String,
+                                         aName: String, bName: String): DataFrame =
+    buckets
+      .select(col(idsCol), explode(col(idsCol)).as(aName))
+      .select(col(aName), explode(col(idsCol)).as(bName))
+      .filter(col(aName) < col(bName))
+      .distinct()
 
   /** SimHash (64-bit) over word hashes: per-bit majority vote of the
     * word-hash population. One UDF pass (the SQL formulation needed 64
