@@ -3,40 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.core.Sid
-import graft.functions.{StareClearExpression, StareIntersectsCoverExpression, StareSidExpression}
+import graft.functions.StareFunctions
 
-/** Session extension registering the native STARE expressions with the
-  * SQL function registry (SURVEY.md §4.3.2: functions injected via
-  * SparkSessionExtensions so plain `spark.sql` and spark-submit
-  * `--conf spark.sql.extensions=graft.StareExtensions` get them; the
-  * udf-based helpers remain available via StareFunctions.register). */
+/** Session extension registering the FULL STARE SQL surface with the
+  * function registry (SURVEY.md §4.3.2): a `spark-submit --conf
+  * spark.sql.extensions=graft.StareExtensions` user gets every function
+  * — native codegen kernels (stare_sid / stare_clear /
+  * stare_intersects_cover) and the UDF-backed geometry/cover/TIV
+  * surface — in plain `spark.sql` text with no Scala imports and no
+  * session-scoped register() call. The builder list itself lives in
+  * StareFunctions.sqlFunctionBuilders so this path and the live-session
+  * register() path can never drift apart. Mirrors the reference's
+  * dataframe-method surface (staredataframe.py:741-1084). */
 class StareExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("stare_sid"),
-      new ExpressionInfo(classOf[StareSidExpression].getName, "stare_sid"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 3, "stare_sid(lat, lon, level)")
-        StareSidExpression(exprs(0), exprs(1), exprs(2))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("stare_clear"),
-      new ExpressionInfo(classOf[StareClearExpression].getName, "stare_clear"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 1, "stare_clear(sid)")
-        StareClearExpression(exprs(0))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("stare_intersects_cover"),
-      new ExpressionInfo(classOf[StareIntersectsCoverExpression].getName, "stare_intersects_cover"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "stare_intersects_cover(sid, coverArrayLiteral)")
-        require(exprs(1).foldable, "the cover must be a foldable array literal")
-        val arr = exprs(1).eval(null)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
-        StareIntersectsCoverExpression(exprs(0), Sid.flattenRuns(Sid.mergedIntervals(arr)))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    StareFunctions.sqlFunctionBuilders.foreach { case (name, arity, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.StareFunctions", name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == arity, s"$name expects $arity arguments")
+          builder(exprs)
+        }))
+    }
 }

@@ -200,25 +200,85 @@ object StareFunctions {
     }.mkString("MULTIPOLYGON (", ", ", ")")
   }
 
-  /** Register SQL names on a session (spark.sql usable). */
-  def register(spark: SparkSession): Unit = {
-    spark.udf.register("stare_sid", (lat: Double, lon: Double, level: Int) => Htm.latLonToSid(lat, lon, level))
-    spark.udf.register("stare_level", (sid: Long) => Sid.level(sid))
-    spark.udf.register("stare_clear", (sid: Long) => Sid.clearToLevel(sid))
-    spark.udf.register("stare_hex", (sid: Long) => Sid.hex(sid))
-    spark.udf.register("stare_area", (sid: Long) => Htm.area(sid))
-    spark.udf.register("stare_compress", (sids: Seq[Long]) => Sid.compress(sids.toArray))
-    spark.udf.register("stare_cover", (wkt: String, level: Int) => {
-      Geo.parseWkt(wkt) match {
-        case Geo.PointG(lon, lat)  => Array(Htm.latLonToSid(lat, lon, level))
-        case Geo.PolygonG(rings)   => Cover.coverFromPolygon(rings, level, forceCcw = true)
-        case Geo.MultiPolygonG(ps) => ps.flatMap(p => Cover.coverFromPolygon(p.rings, level, forceCcw = true))
-      }
-    })
-    spark.udf.register("stare_ellipse_cover",
-      (lat: Double, lon: Double, widthM: Double, heightM: Double, angleDeg: Double, level: Int) =>
-        Cover.ellipseCover(lat, lon, widthM, heightM, angleDeg, level))
-    spark.udf.register("stare_tiv", (millis: Long, fwd: Int, rev: Int) => Tiv.fromUtcMillis(millis, fwd, rev))
-    spark.udf.register("stare_trixel_wkt", (sids: Seq[Long]) => trixelWkt(sids.toArray))
+  // ------------------------------------------------------------ SQL surface
+
+  private val clearToDynUdf = udf((sid: Long, level: Int) =>
+    (sid & Sid.clearMask(level)) | level.toLong)
+  private val expandDynUdf = udf((sids: Seq[Long], level: Int) =>
+    Sid.expandToLevel(sids.toArray, level))
+  private val tivMillisUdf = udf((millis: Long, fwd: Int, rev: Int) =>
+    Tiv.fromUtcMillis(millis, fwd, rev))
+  private val tivIntervalUdf = udf((lo: Long, hi: Long) => Tiv.fromInterval(lo, hi))
+  private val containsDynUdf = udf((sid: Long, lat: Double, lon: Double) =>
+    Htm.sidContainsPoint(sid, lat, lon))
+  private val setIntersectsUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    Sid.intersection(a.toArray, b.toArray).nonEmpty)
+
+  /** The full STARE SQL surface as (name, arity, expression builder) —
+    * the single source of truth behind BOTH registration paths:
+    * StareExtensions injects it at session build (`--conf
+    * spark.sql.extensions=graft.StareExtensions`, the spark-submit /
+    * SQL-only path) and register() installs it on a live session.
+    * Mirrors the reference's dataframe-method surface
+    * (staredataframe.py:741-1084) for pure-SQL users; hot kernels
+    * (stare_sid, stare_clear, stare_intersects_cover) resolve to the
+    * native codegen expressions, the rest to the same UDF kernels the
+    * typed API uses. */
+  lazy val sqlFunctionBuilders: Seq[(String, Int, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.graft.shim
+    // eagerExpression: a registry builder's output never passes through
+    // the Dataset-API analyzer, so the Column tree must convert eagerly
+    def c(b: Seq[Column] => Column): Seq[Expression] => Expression =
+      exprs => shim.eagerExpression(b(exprs.map(shim.column)))
+    def long(x: Column) = x.cast("long")
+    def int(x: Column) = x.cast("int")
+    def dbl(x: Column) = x.cast("double")
+    Seq[(String, Int, Seq[Expression] => Expression)](
+      ("stare_sid", 3, c(cs => NativeExpressions.stareSidNative(cs(0), cs(1), cs(2)))),
+      ("stare_clear", 1, c(cs => stareClearToOwn(long(cs(0))))),
+      ("stare_level", 1, c(cs => stareLevel(long(cs(0))))),
+      ("stare_clear_to", 2, c(cs => clearToDynUdf(long(cs(0)), int(cs(1))))),
+      ("stare_coerce", 2, c(cs =>
+        long(cs(0)).bitwiseAND(lit(~Sid.LevelMask)).bitwiseOR(long(cs(1))))),
+      ("stare_hex", 1, c(cs => stareHex(long(cs(0))))),
+      ("stare_area", 1, c(cs => areaUdf(long(cs(0))))),
+      ("stare_compress", 1, c(cs => compressUdf(cs(0)))),
+      ("stare_expand", 2, c(cs => expandDynUdf(cs(0), int(cs(1))))),
+      ("stare_intersection", 2, c(cs => intersectionUdf(cs(0), cs(1)))),
+      ("stare_set_intersects", 2, c(cs => setIntersectsUdf(cs(0), cs(1)))),
+      ("stare_cover", 2, c(cs => coverUdf(cs(0), int(cs(1)), lit(true)))),
+      ("stare_cover_hull", 2, c(cs => hullUdf(cs(0), int(cs(1))))),
+      ("stare_circular_cover", 3, c(cs => circularUdf(long(cs(0)), dbl(cs(1)), int(cs(2))))),
+      ("stare_ellipse_cover", 6, c(cs =>
+        ellipseUdf(dbl(cs(0)), dbl(cs(1)), dbl(cs(2)), dbl(cs(3)), dbl(cs(4)), int(cs(5))))),
+      ("stare_sid_adaptive", 3, c(cs => adaptiveSidUdf(dbl(cs(0)), dbl(cs(1)), dbl(cs(2))))),
+      ("stare_contains_point", 3, c(cs => containsDynUdf(long(cs(0)), dbl(cs(1)), dbl(cs(2))))),
+      ("stare_center", 1, c(cs => centerUdf(long(cs(0))))),
+      ("stare_gring", 1, c(cs => gringUdf(long(cs(0))))),
+      ("stare_corners_ecef", 1, c(cs => cornersEcefUdf(long(cs(0))))),
+      ("stare_trixel_wkt", 1, c(cs => trixelWktUdf(cs(0)))),
+      ("stare_tiv", 3, c(cs => tivMillisUdf(long(cs(0)), int(cs(1)), int(cs(2))))),
+      ("stare_tiv_range", 2, c(cs => tivIntervalUdf(long(cs(0)), long(cs(1))))),
+      // driver-prepared cover predicate: the cover argument must be a
+      // foldable array literal so the merged interval runs ship once as
+      // a codegen reference object (the same native path the typed
+      // stareIntersectsCover uses)
+      ("stare_intersects_cover", 2, exprs => {
+        require(exprs(1).foldable, "the cover must be a foldable array literal")
+        val arr = exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        StareIntersectsCoverExpression(
+          shim.eagerExpression(shim.column(exprs(0)).cast("long")),
+          Sid.flattenRuns(Sid.mergedIntervals(arr)))
+      }))
   }
+
+  /** Register the full SQL surface on a LIVE session (spark.sql usable
+    * without rebuilding the session; same builders as StareExtensions). */
+  def register(spark: SparkSession): Unit =
+    sqlFunctionBuilders.foreach { case (name, arity, b) =>
+      org.apache.spark.sql.graft.shim.registerFunction(spark, name,
+        exprs => { require(exprs.length == arity, s"$name expects $arity arguments"); b(exprs) })
+    }
 }

@@ -13,6 +13,23 @@ object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column -> Expression conversion. ExpressionUtils.expression
+    * wraps non-expression ColumnNodes in a lazy, Unevaluable
+    * ColumnNodeExpression that only the Dataset-API analyzer resolves;
+    * expressions returned from a FunctionRegistry builder (the
+    * spark.sql path) never pass through that resolution, so they must
+    * be converted up front. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Register an expression-builder function on a LIVE session's
+    * function registry (the injectFunction path only works at session
+    * build time; sessionState is private[sql]). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+
   /** Append a packed (partitionId << 40 | rowInPartition) LongType id
     * column in a SINGLE pass over the physical InternalRow iterator:
     * no extra Spark job (unlike rdd.zipWithIndex, which runs a
