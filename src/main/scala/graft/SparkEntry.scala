@@ -471,6 +471,37 @@ object SparkEntry {
       AnnOps.ivfTopK(emb, "embedding", "vec_id", q, 20, cents, nprobe = 16)
         .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
+    "q41_polar_subset" -> ((s, dir) => {
+      // polar-cap stress (r3 verdict item 4): deterministic polar
+      // latitudes (80..89.74 deg, derived from doc_id like q30's
+      // neighbor distance), region latMax = 90 -> Cover.coverFromBox's
+      // polar-cap union engages (core/Cover.scala northCap). The cover
+      // prunes (superset by construction), the shared lat literal
+      // decides; a cap-path false negative = a missing row vs DuckDB.
+      val docs = Webtext.geotagged(Webtext.table(s, dir))
+        .withColumn("plat", expr(polarLatSql))
+        .withColumn("sid", stareSid(col("plat"), col("lon"), 26))
+      SpeedySubset(docs, "sid", polarCover)
+        .filter(col("plat") >= 85.0)
+        .select(col("doc_id"), round(col("plat"), 4).as("lat_r"), round(col("lon"), 4).as("lon_r"))
+        .orderBy(col("doc_id"))
+    }),
+    "q42_polar_wkt" -> ((s, dir) => {
+      // pole-crossing trixel WKT through the hard signal: near-pole
+      // docs dissolve onto level-3 cells whose trixels touch the pole,
+      // so stareTrixelWkt exercises splitAntimeridian's pole-vertex
+      // expansion + seam split end-to-end; wkt_ok validates every ring
+      // (closure, arity, coordinate ranges) and the counts are oracled.
+      val docs = Webtext.geotagged(Webtext.table(s, dir))
+        .withColumn("plat", expr(polarLatSql))
+        .withColumn("sid", stareSid(col("plat"), col("lon"), 26))
+        .filter(col("plat") >= 85.0)
+        .withColumn("sids", array(stareClearTo(col("sid"), 3)))
+      Dissolve(docs, by = "lang", sidsCol = "sids", aggFuncs = Map("doc_id" -> "count"))
+        .select(col("lang"), col("doc_id").as("n_docs"),
+          wktOk(stareTrixelWkt(col("sids"))).as("wkt_ok"))
+        .orderBy(col("lang"))
+    }),
     "q37_raster_grid" -> ((s, dir) => {
       // Granule.to_df analog: distributed pixel grid -> affine lon/lat ->
       // per-pixel adaptive-level sid; band aggregates have a closed form
@@ -484,6 +515,21 @@ object SparkEntry {
         .orderBy(col("band"))
     })
   )
+
+  /** q41/q42's deterministic polar latitude (80.0..89.6 deg, ~half the
+    * docs above 85 at every SF), shared literal-for-literal with the
+    * DuckDB oracle (1e1, not 10.0 — a decimal-point literal types as
+    * DECIMAL in Spark and BigDecimal division is ~100x a double divide). */
+  private[graft] val polarLatSql = "80.0 + (doc_id % 97) / 1e1"
+
+  /** Superset cover of {lat >= 85}: two half-lon boxes with latMax = 90,
+    * each engaging coverFromBox's polar-cap union (a single box spanning
+    * the full 360 deg of longitude would densify into a self-overlapping
+    * ring; the two-half union is the same construction the wrapping
+    * `pacific` region uses). */
+  private[graft] lazy val polarCover: Array[Long] = Sid.compress(
+    Cover.coverFromBox(-180.0, 0.0, 85.0, 90.0, 6) ++
+      Cover.coverFromBox(0.0, 180.0, 85.0, 90.0, 6))
 
   /** unordered region pairs (every combination, overlapping or not). */
   private[graft] val regionPairs: Seq[(Region, Region)] =
@@ -916,6 +962,14 @@ object SparkEntry {
            |FROM embeddings
            |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvec) DESC, vec_id LIMIT 20""".stripMargin
       },
+      "q41_polar_subset" ->
+        s"""SELECT doc_id, round($polarLatSql, 4) AS lat_r, round($lon, 4) AS lon_r
+           |FROM documents WHERE $polarLatSql >= 85.0
+           |ORDER BY doc_id""".stripMargin,
+      "q42_polar_wkt" ->
+        s"""SELECT lang, count(*) AS n_docs, true AS wkt_ok
+           |FROM documents WHERE $polarLatSql >= 85.0
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q37_raster_grid" ->
         """WITH g AS (
           | SELECT a.x AS x, b.y AS y
