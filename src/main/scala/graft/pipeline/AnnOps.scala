@@ -256,23 +256,64 @@ object AnnOps {
     assignUdf(col(vecCol))
   }
 
+  /** the `nprobe` cluster ids nearest the query, in probe order. */
+  def probeClusters(query: Array[Float], centroids: Array[Array[Double]], nprobe: Int): Seq[Int] = {
+    val qUnit = normalize(query.map(_.toDouble))
+    require(qUnit != null, "zero query vector")
+    centroids.indices
+      .sortBy(c => -centroids(c).zip(qUnit).map { case (a, b) => a * b }.sum)
+      .take(nprobe)
+  }
+
   /** IVF top-k: exact cosine over only the rows assigned to the
     * `nprobe` clusters nearest the query. nprobe = centroids.length
     * probes everything and provably equals brute force (the q38 oracle
     * configuration); smaller nprobe is the scale path whose recall is
-    * measured in AnnOpsSpec. */
+    * measured in AnnOpsSpec. Computes the assignment inline — correct
+    * anywhere, but at scale use the precomputed-column overloads below
+    * so the probe prunes FILES instead of re-running the quantizer. */
   def ivfTopK(emb: DataFrame, vecCol: String, idCol: String, query: Array[Float], k: Int,
-              centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
-    val qUnit = normalize(query.map(_.toDouble))
-    require(qUnit != null, "zero query vector")
-    val probed = centroids.indices
-      .sortBy(c => -centroids(c).zip(qUnit).map { case (a, b) => a * b }.sum)
-      .take(nprobe)
+              centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    ivfTopKAssigned(emb.withColumn(ClusterCol, ivfAssign(emb, vecCol, centroids)),
+      vecCol, idCol, ClusterCol, query, k, centroids, nprobe)
+
+  /** The partition/assignment column written by writeClustered. */
+  val ClusterCol = "ivf_cluster"
+
+  /** IVF top-k over a PRECOMPUTED assignment column — the scale path
+    * (r3 verdict item 5): when the table is written clustered by the
+    * assignment (writeClustered), the isin filter is a pure partition
+    * predicate, so Catalyst prunes the non-probed clusters' FILES at
+    * listing time and the scan reads only nprobe clusters — verified by
+    * the file-count test in AnnOpsSpec. */
+  def ivfTopKAssigned(emb: DataFrame, vecCol: String, idCol: String, clusterCol: String,
+                      query: Array[Float], k: Int,
+                      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val probed = probeClusters(query, centroids, nprobe)
     val q = query.toSeq
     val simUdf = udf((v: Seq[Float]) => cos(v, q))
-    emb.filter(ivfAssign(emb, vecCol, centroids).isin(probed: _*))
+    emb.filter(col(clusterCol).isin(probed: _*))
       .withColumn("cos_sim", simUdf(col(vecCol)))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Write the embedding table hive-partitioned by its IVF assignment
+    * (the pods pattern applied to vector space): one directory per
+    * cluster, rows co-located by a pre-shuffle on the assignment so each
+    * cluster lands in few files. Probed reads then touch only the
+    * probed clusters' directories. */
+  def writeClustered(emb: DataFrame, vecCol: String, centroids: Array[Array[Double]],
+                     path: String): Unit =
+    emb.withColumn(ClusterCol, ivfAssign(emb, vecCol, centroids))
+      .repartition(col(ClusterCol))
+      .write.mode("overwrite").partitionBy(ClusterCol).parquet(path)
+
+  /** Probed top-k against a writeClustered table: partition pruning on
+    * the cluster directories + exact cosine re-rank. */
+  def ivfTopKClustered(spark: org.apache.spark.sql.SparkSession, path: String,
+                       vecCol: String, idCol: String, query: Array[Float], k: Int,
+                       centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    ivfTopKAssigned(spark.read.parquet(path), vecCol, idCol, ClusterCol,
+      query, k, centroids, nprobe)
 }

@@ -82,4 +82,51 @@ class AnnOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.last === 1.0) // full probe is exact
     assert(recalls == recalls.sorted) // recall is monotone in nprobe
   }
+
+  test("clustered IVF table: a pruned probe reads ONLY the probed clusters' files") {
+    // r3 verdict item 5: "assignment column = file-pruning key at
+    // scale" must be verified behavior, not a comment. writeClustered
+    // hive-partitions by the assignment; the probe's isin becomes a
+    // partition predicate and the scan must touch exactly the probed
+    // directories' parquet files (listing-time pruning, like Pods.read).
+    val emb = clusteredEmb
+    val cents = AnnOps.trainCentroids(emb, "embedding", "vec_id", k = 4, sampleCap = 400)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_clustered").toString
+    AnnOps.writeClustered(emb, "embedding", cents, dir)
+    val query = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val nprobe = 2
+    val probed = AnnOps.probeClusters(query, cents, nprobe).toSet
+    def filesUnder(c: Int): Int = {
+      val d = new java.io.File(s"$dir/${AnnOps.ClusterCol}=$c")
+      if (!d.exists) 0 else d.listFiles.count(_.getName.endsWith(".parquet"))
+    }
+    val allClusters = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName.stripPrefix(s"${AnnOps.ClusterCol}=").toInt).toSeq
+    val expectedFiles = probed.toSeq.map(filesUnder).sum
+    val totalFiles = allClusters.map(filesUnder).sum
+    assert(expectedFiles > 0 && expectedFiles < totalFiles,
+      s"fixture must have prunable clusters (probed $expectedFiles of $totalFiles files)")
+    val top = AnnOps.ivfTopKClustered(spark, dir, "embedding", "vec_id", query, 10, cents, nprobe)
+      .select("vec_id")
+    val got = top.collect().map(_.getLong(0)) // executes THIS plan; metrics below are its own
+    // scanned-file count from the executed scan's own metrics
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec    => Seq(f)
+      case o                        => o.children.flatMap(scans)
+    }
+    val scanNodes = scans(top.queryExecution.executedPlan)
+    assert(scanNodes.nonEmpty, "no FileSourceScanExec found in the executed plan")
+    val scanned = scanNodes.map(_.metrics("numFiles").value).sum
+    assert(scanned === expectedFiles,
+      s"scan read $scanned files; the $nprobe probed clusters hold $expectedFiles of $totalFiles")
+    // recall vs brute force on the same table, measured and reported
+    val brute = AnnOps.topK(emb, "embedding", query, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.count(brute).toDouble / brute.size
+    info(f"nprobe=$nprobe/4: recall@10 $recall%.2f, files $scanned/$totalFiles")
+    assert(recall >= 0.9) // the probed-first cluster carries the axis-aligned top-k
+  }
 }
