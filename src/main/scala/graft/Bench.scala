@@ -69,6 +69,9 @@ object Bench {
           val r = skewThroughput(spark, sfDir, n = 24000000L,
             aqeSkewJoin = false, cleanTarget = 2, maxPairs = 3)
           println(r.toJson("skew_"))
+        case "shufflejoin" =>
+          val (sec, rows) = shuffleJoinThroughput(spark)
+          println(s"""{"shuffle_join_rows":$rows,"shuffle_join_sec":$sec}""")
         case other => sys.error(s"unknown bench child mode: $other")
       }
       spark.stop()
@@ -109,6 +112,13 @@ object Bench {
     val joinRows = jsonNum(joinJson, "join_rows").toLong
     System.err.println(f"[bench] join_throughput: $joinRows rows in $joinSec%.2f s = ${joinRows / joinSec}%.0f rows/s")
 
+    val loadShuffle0 = loadavg()
+    val shuffleJson = runChild("shufflejoin", sfDir, cpus, amplify)
+    val loadShuffle1 = loadavg()
+    val shuffleSec = jsonNum(shuffleJson, "shuffle_join_sec")
+    val shuffleRows = jsonNum(shuffleJson, "shuffle_join_rows").toLong
+    System.err.println(f"[bench] shuffle_join_throughput: $shuffleRows rows in $shuffleSec%.2f s = ${shuffleRows / shuffleSec}%.0f rows/s")
+
     val loadSkew0 = loadavg()
     // headline skew evidence = the melt demo (24M, AQE skew splitter
     // off for both runs); the sub-threshold AQE-on pair at 8M is
@@ -126,10 +136,11 @@ object Bench {
     val total = results.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""join_rows":$joinRows,"join_sec":$joinSec,"join_rows_per_sec":${(joinRows / joinSec).toLong},""" +
+      s""""shuffle_join_rows":$shuffleRows,"shuffle_join_sec":$shuffleSec,"shuffle_join_rows_per_sec":${(shuffleRows / shuffleSec).toLong},""" +
       skewJson.stripPrefix("{").stripSuffix("}") + "," +
       skewSubJson.stripPrefix("{").stripSuffix("}") + "," +
       s""""pods_write_sec":$podsWriteSec,"pods_resume_sec":$podsResumeSec,""" +
-      s""""loadavg_sweep":[$loadSweep0,$loadSweep1],"loadavg_join":[$loadJoin0,$loadJoin1],"loadavg_skew":[$loadSkew0,$loadSkew1],"loadavg_skew_subthreshold":[$loadSkewSub0,$loadSkewSub1],""" +
+      s""""loadavg_sweep":[$loadSweep0,$loadSweep1],"loadavg_join":[$loadJoin0,$loadJoin1],"loadavg_shuffle_join":[$loadShuffle0,$loadShuffle1],"loadavg_skew":[$loadSkew0,$loadSkew1],"loadavg_skew_subthreshold":[$loadSkewSub0,$loadSkewSub1],""" +
       s""""cpus":$cpus}""")
     spark.stop()
   }
@@ -301,6 +312,48 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", priorCoalesce)
       spark.sparkContext.removeSparkListener(listener)
     }
+  }
+
+  /** Shuffle-path join throughput (r3 verdict item 7): the 100 TB
+    * headline leans on the broadcast pointJoin; this gives the
+    * NON-broadcastable regime its own number. 100k disjoint level-8
+    * cover rows (a cover side standing in for a polygon table beyond
+    * broadcast comfort — autoBroadcastJoinThreshold=-1 like the skew
+    * bench) against 24M uniformly spread points, AQE on, no hot cell:
+    * one key per point through one equi-join shuffle (single cover
+    * level -> no rebase, no explode multiplier). The cell list is
+    * truncated at 100k, so a fraction of points match — the metric is
+    * LEFT rows/sec through the shuffle, not output rows. */
+  def shuffleJoinThroughput(spark: SparkSession, n: Long = 24000000L): (Double, Long) = {
+    import graft.functions.StareFunctions._
+    import spark.implicits._
+    // ~100k disjoint level-8 cells: level-4 band cover expanded 4 levels
+    val l4 = graft.core.Sid.compress(
+      graft.core.Cover.coverFromBox(-180.0, 0.0, -40.0, 40.0, 4) ++
+        graft.core.Cover.coverFromBox(0.0, 180.0, -40.0, 40.0, 4))
+    val cells = graft.core.Sid.expandToLevel(l4, 8).take(100000)
+    val covers = cells.zipWithIndex.map { case (c, i) => (i.toLong, Seq(c)) }
+      .toSeq.toDF("cover_id", "sids")
+    val pts = spark.range(n)
+      .withColumn("lat", lit(-39.0) + (col("id") % 7789).cast("double") / 100.0)
+      .withColumn("lon", lit(-179.0) + (col("id") % 35617).cast("double") / 100.0)
+      .withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+      .select(col("id"), col("sid"))
+    pts.persist().count() // measure the join, not the generator
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Skew.shuffleJoin(pts, "sid", covers, "sids",
+          knownMinLeftLevel = Some(26)).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warm-up
+      val sec = (1 to 3).map(_ => run()).min
+      pts.unpersist()
+      (sec, n)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   /** The north-rule workload: points (amplified deterministic replicas of
