@@ -471,6 +471,25 @@ object SparkEntry {
       AnnOps.ivfTopK(emb, "embedding", "vec_id", q, 20, cents, nprobe = 16)
         .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
+    "q43_shuffle_join_left" -> ((s, dir) => {
+      // the SHUFFLE-path spatial join (Skew.shuffleJoin) through the
+      // hard signal — q22's exact semantics (left join + refine + lost
+      // re-entry) with the shuffle operator instead of the broadcast
+      // pointJoin, so the keyed equi-join, packed stable ids, left
+      // join-back, and assemble contract are all oracle-gated. Shares
+      // q22's oracle SQL verbatim.
+      val docs = indexed(s, dir)
+      val joined = graft.operators.Skew.shuffleJoin(docs, "sid", coversDf(s), "sids",
+        splitHot = None, how = "left", knownMinLeftLevel = Some(26))
+      val refined = joined.filter(col("region_name").isNull || refineMatched)
+      val lost = docs.select(col("doc_id"))
+        .join(refined.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("region_name", lit(null).cast("string"))
+      refined.select(col("doc_id"), col("region_name")).unionByName(lost)
+        .groupBy(coalesce(col("region_name"), lit("__none")).as("region_name"))
+        .agg(count(lit(1)).as("pages"))
+        .orderBy(col("region_name"))
+    }),
     "q41_polar_subset" -> ((s, dir) => {
       // polar-cap stress (r3 verdict item 4): deterministic polar
       // latitudes (80..89.74 deg, derived from doc_id like q30's
@@ -962,6 +981,10 @@ object SparkEntry {
            |FROM embeddings
            |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvec) DESC, vec_id LIMIT 20""".stripMargin
       },
+      "q43_shuffle_join_left" ->
+        s"""SELECT coalesce(region_name, '__none') AS region_name, count(*) AS pages
+           |FROM $ptsSql LEFT JOIN $boxesSql ON $boxPredSql
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q41_polar_subset" ->
         s"""SELECT doc_id, round($polarLatSql, 4) AS lat_r, round($lon, 4) AS lon_r
            |FROM documents WHERE $polarLatSql >= 85.0
