@@ -471,6 +471,23 @@ object SparkEntry {
       AnnOps.ivfTopK(emb, "embedding", "vec_id", q, 20, cents, nprobe = 16)
         .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
+    "q44_hull_subset" -> ((s, dir) => {
+      // convex-hull cover as the prune (was golden-only): the hull of
+      // the europe_c box corners inflated by 2.5 deg is a spherical
+      // quadrilateral whose only inward-bulging edge (the south
+      // geodesic, max sag atan(tan(33.5deg)/cos(19.5deg)) ~ 35.1 deg)
+      // stays below the box's latMin=36 — so hullCover ⊇ box and the
+      // exact q24 refine decides. Oracle = q24's SQL.
+      val r = region("europe_c")
+      val m = 2.5
+      val lons = Array(r.lonMin - m, r.lonMax + m, r.lonMax + m, r.lonMin - m)
+      val lats = Array(r.latMin - m, r.latMin - m, r.latMax + m, r.latMax + m)
+      val hullCover = Cover.coverFromHull(lats, lons, 6)
+      SpeedySubset(indexed(s, dir), "sid", hullCover)
+        .filter(inRegion(r))
+        .select(col("doc_id"), round(col("lat"), 4).as("lat_r"), round(col("lon"), 4).as("lon_r"))
+        .orderBy(col("doc_id"))
+    }),
     "q43_shuffle_join_left" -> ((s, dir) => {
       // the SHUFFLE-path spatial join (Skew.shuffleJoin) through the
       // hard signal — q22's exact semantics (left join + refine + lost
@@ -981,6 +998,10 @@ object SparkEntry {
            |FROM embeddings
            |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvec) DESC, vec_id LIMIT 20""".stripMargin
       },
+      "q44_hull_subset" ->
+        s"""SELECT doc_id, round(lat, 4) AS lat_r, round(lon, 4) AS lon_r
+           |FROM $ptsSql WHERE ${regionPredSql(region("europe_c"))}
+           |ORDER BY doc_id""".stripMargin,
       "q43_shuffle_join_left" ->
         s"""SELECT coalesce(region_name, '__none') AS region_name, count(*) AS pages
            |FROM $ptsSql LEFT JOIN $boxesSql ON $boxPredSql
