@@ -92,7 +92,11 @@ object StareJoin {
     val spark = left.sparkSession
     val probeCap = math.min(1000, maxBroadcastRows)
     val maxBroadcastBytes = 512L * 1024 * 1024
-    right.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist only when the caller hasn't: an unconditional persist +
+    // unpersist would silently DROP a caller's own cache (KnnJoin
+    // persists its reusable sides across rounds)
+    val weCached = right.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) right.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val collected: Array[org.apache.spark.sql.Row] =
       try {
         val probe = right.limit(probeCap + 1).collect()
@@ -108,7 +112,7 @@ object StareJoin {
               how = how, knownMinLeftLevel = knownMinLeftLevel)
           right.collect()
         }
-      } finally right.unpersist(false)
+      } finally if (weCached) right.unpersist(false)
     // The cover side fits in a broadcast, so assign row ids
     // on the driver: deterministic across every reuse of the frame (no
     // monotonically_increasing_id re-evaluation hazard) and no lingering
