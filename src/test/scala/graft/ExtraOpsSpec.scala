@@ -506,6 +506,31 @@ class ExtraOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty, "guard cache must be released")
   }
 
+  test("packed stable ids: unique, deterministic across re-evaluation, complex-type safe") {
+    import spark.implicits._
+    val base = spark.range(0, 20000).repartition(7)
+      .select(col("id").as("v"),
+        concat(lit("s"), col("id")).as("s"),
+        array(col("id"), col("id") * 2).as("arr"),
+        when(col("id") % 3 === 0, col("id")).as("maybe"))
+    val withId = org.apache.spark.sql.graft.shim.withPackedIdColumn(base, "rid")
+    val a = withId.collect()
+    assert(a.length === 20000)
+    val ids = a.map(_.getLong(a.head.fieldIndex("rid")))
+    assert(ids.distinct.length === ids.length, "packed ids must be unique")
+    // values survive the JoinedRow + UnsafeProjection path intact
+    val byV = a.map(r => r.getLong(0) -> r).toMap
+    assert(byV(6L).getString(1) === "s6")
+    assert(byV(6L).getSeq[Long](2) === Seq(6L, 12L))
+    assert(byV(6L).getLong(3) === 6L && byV(7L).isNullAt(3))
+    // deterministic: a second full evaluation of the SAME frame yields
+    // the same (row -> id) assignment (the property the join-back and
+    // pair-dedup call sites rely on)
+    val b = withId.collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(4))).toSet ===
+      b.map(r => (r.getLong(0), r.getLong(4))).toSet)
+  }
+
   test("raster grid encodes pixels at an adapted level and roundtrips via pivot") {
     val g = graft.sources.Raster.gridToDf(spark, 16, 8, -10.0, 50.0, 0.25, -0.25)
     assert(g.count() === 128)
