@@ -509,7 +509,7 @@ object SparkEntry {
     }),
     "q41_polar_subset" -> ((s, dir) => {
       // polar-cap stress (r3 verdict item 4): deterministic polar
-      // latitudes (80..89.74 deg, derived from doc_id like q30's
+      // latitudes (80..89.6 deg, derived from doc_id like q30's
       // neighbor distance), region latMax = 90 -> Cover.coverFromBox's
       // polar-cap union engages (core/Cover.scala northCap). The cover
       // prunes (superset by construction), the shared lat literal

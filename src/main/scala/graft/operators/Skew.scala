@@ -310,29 +310,44 @@ object Skew {
     // base levels (they can only match left rows at least that fine,
     // which the per-level guard already expresses).
     val rebaseBudget = 16L * 1024 * 1024
+    // saturating cost of expanding every keyed cell below `target` up to
+    // `target` — over ALL levels present in the keyed right frame
+    // (levelHist includes SPLIT-CHILD cells, which the rebase UDF also
+    // expands; budgeting only the kept levels would admit an expansion
+    // orders of magnitude over budget through the children). levelHist
+    // counts exploded (row, cell) pairs (unbounded), and a wide level
+    // spread shifts far past 62 bits — an overflowed (negative) sum must
+    // read as "infinite cost", not as a budget pass.
+    def rebaseCostTo(target: Int): Long =
+      levelHist.keysIterator.filter(_ < target).foldLeft(0L) { (acc, l) =>
+        val shift = 2 * (target - l)
+        val cnt = levelHist.getOrElse(l, 0L)
+        val cellCost =
+          if (shift >= 62 || (shift > 0 && cnt > (Long.MaxValue >> shift))) Long.MaxValue
+          else cnt << shift
+        val sum = acc + cellCost
+        if (sum < acc) Long.MaxValue else sum // addition overflow -> saturate
+      }
+    // cheapest conceivable rebase: collapse only the two coarsest keyed
+    // levels (the smallest shift any useful target could need). If even
+    // that exceeds the budget, NO target can pass — skip the min-level
+    // fallback scan entirely (it is a full pass over the left sid column)
+    val sortedKept = keptLevels.sorted
+    val anyTargetCanFit = sortedKept.length > 1 && {
+      val minimal = rebaseCostTo(sortedKept(1))
+      minimal <= rebaseBudget
+    }
     val minLeftLevel: Int = knownMinLeftLevel
       .orElse(splitRes.map(_.minLeftLevel))
       .getOrElse {
-        if (keptLevels.length <= 1) Sid.MaxLevel // no rebase to consider
+        if (!anyTargetCanFit) Sid.MaxLevel // rebase hopeless: cap is moot
         else left.agg(min(stareLevel(col(leftSid)))).collect()(0) match {
           case r if r.isNullAt(0) => Sid.MaxLevel
           case r                  => r.getLong(0).toInt
         }
       }
     val target = math.min(if (keptLevels.isEmpty) 0 else keptLevels.max, minLeftLevel)
-    // saturating cost: levelHist counts exploded (row, cell) pairs
-    // (unbounded), and a wide level spread shifts far past 62 bits — an
-    // overflowed (negative) sum must read as "infinite cost", not as a
-    // budget pass (ADVICE r4 medium)
-    val rebaseCost = keptLevels.filter(_ < target).foldLeft(0L) { (acc, l) =>
-      val shift = 2 * (target - l)
-      val cnt = levelHist.getOrElse(l, 0L)
-      val cellCost =
-        if (shift >= 62 || (shift > 0 && cnt > (Long.MaxValue >> shift))) Long.MaxValue
-        else cnt << shift
-      val sum = acc + cellCost
-      if (sum < acc) Long.MaxValue else sum // addition overflow -> saturate
-    }
+    val rebaseCost = rebaseCostTo(target)
     val rebased = keptLevels.count(_ <= target) > 1 && rebaseCost <= rebaseBudget
     val rightKeyedFinal =
       if (!rebased) rightKeyed

@@ -130,7 +130,7 @@ object AnnOps {
     * per-bucket O(n²) at any corpus size. */
   def nearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
                    bands: Int = 16, planesPerBand: Int = 4, minCosine: Double = 0.95,
-                   maxBucket: Long = 10000L): DataFrame = {
+                   maxBucket: Long = 100000L): DataFrame = {
     // signatures are the expensive pass: cache them so the bucket-size
     // scan and the pair join read them once, then materialize the
     // (small) pair result and release the cache — nothing expensive is
@@ -276,6 +276,8 @@ object AnnOps {
               centroids: Array[Array[Double]], nprobe: Int): DataFrame =
     ivfTopKAssigned(emb.withColumn(ClusterCol, ivfAssign(emb, vecCol, centroids)),
       vecCol, idCol, ClusterCol, query, k, centroids, nprobe)
+      .drop(ClusterCol) // the inline assignment is an implementation detail,
+      // not part of ivfTopK's output contract
 
   /** The partition/assignment column written by writeClustered. */
   val ClusterCol = "ivf_cluster"

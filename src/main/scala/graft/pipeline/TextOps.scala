@@ -238,7 +238,7 @@ object TextOps {
     * are dropped and counted to stderr — the O(bucket²) blowup is
     * bounded by cap² per bucket at any corpus size. */
   def minhashCandidates(docs: DataFrame, k: Int = 3, perms: Int = 36, bands: Int = 12,
-                        maxBucket: Long = 10000L): DataFrame =
+                        maxBucket: Long = 100000L): DataFrame =
     minhashCandidateSet(docs, k, perms, bands, maxBucket).pairs
 
   /** Candidate pairs plus the accounting the caller needs, in TWO Spark
@@ -256,7 +256,7 @@ object TextOps {
                                 droppedBuckets: Long, droppedRows: Long)
 
   def minhashCandidateSet(docs: DataFrame, k: Int = 3, perms: Int = 36, bands: Int = 12,
-                          maxBucket: Long = 10000L, smallPairCap: Long = 10000L): CandidateSet = {
+                          maxBucket: Long = 100000L, smallPairCap: Long = 10000L): CandidateSet = {
     require(perms % bands == 0, s"perms=$perms not divisible by bands=$bands")
     // Bucket shape (round-3 rework): ONE groupBy + collect_list pass
     // builds each (band, bandhash) bucket — the previous two-sided
