@@ -77,7 +77,19 @@ object ClusterSmoke {
     val pods = graft.sources.Pods.read(spark, out, SparkEntry.regionCover(r))
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted.mkString(",")
 
-    Map("join" -> join, "subset" -> subset, "dissolve" -> dis, "pods" -> pods)
+    // 5. shuffle-path LEFT join: packed stable ids (LogicalRDD over
+    // queryExecution.toRdd via the shim) on BOTH sides, keyed equi-join,
+    // pair join-back and assembly — the id derivation and the
+    // internalCreateDataFrame leaf must behave identically when the
+    // partitions run in separate executor JVMs
+    val shj = graft.operators.Skew.shuffleJoin(docs, "sid", SparkEntry.coversDf(spark),
+        "sids", how = "left", knownMinLeftLevel = Some(26))
+      .groupBy(coalesce(col("region_name"), lit("__none")).as("rn"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(",")
+
+    Map("join" -> join, "subset" -> subset, "dissolve" -> dis, "pods" -> pods,
+      "shuffle_join" -> shj)
   }
 
   def run(sfDir: String): (Boolean, String) = {

@@ -37,7 +37,7 @@ class ClusterSmokeSpec extends AnyFunSuite {
     val line = out.linesIterator.find(_.startsWith("{\"cluster_smoke_ok\"")).getOrElse("")
     assert(rc === 0, s"cluster smoke child exited $rc: $out")
     assert(line.contains("\"cluster_smoke_ok\":true"), s"smoke line: $line")
-    Seq("join", "subset", "dissolve", "pods").foreach { k =>
+    Seq("join", "subset", "dissolve", "pods", "shuffle_join").foreach { k =>
       assert(line.contains(s""""$k":"match""""), s"probe $k mismatched: $line")
     }
   }
