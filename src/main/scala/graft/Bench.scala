@@ -105,6 +105,7 @@ object Bench {
     spark.catalog.clearCache()
 
     // headline + skew sections in fresh child JVMs (Scaling.scala pattern)
+    settle()
     val loadJoin0 = loadavg()
     val joinJson = runChild("join", sfDir, cpus, amplify)
     val loadJoin1 = loadavg()
@@ -112,6 +113,7 @@ object Bench {
     val joinRows = jsonNum(joinJson, "join_rows").toLong
     System.err.println(f"[bench] join_throughput: $joinRows rows in $joinSec%.2f s = ${joinRows / joinSec}%.0f rows/s")
 
+    settle()
     val loadShuffle0 = loadavg()
     val shuffleJson = runChild("shufflejoin", sfDir, cpus, amplify)
     val loadShuffle1 = loadavg()
@@ -119,6 +121,7 @@ object Bench {
     val shuffleRows = jsonNum(shuffleJson, "shuffle_join_rows").toLong
     System.err.println(f"[bench] shuffle_join_throughput: $shuffleRows rows in $shuffleSec%.2f s = ${shuffleRows / shuffleSec}%.0f rows/s")
 
+    settle()
     val loadSkew0 = loadavg()
     // headline skew evidence = the melt demo (24M, AQE skew splitter
     // off for both runs); the sub-threshold AQE-on pair at 8M is
@@ -126,6 +129,7 @@ object Bench {
     val skewJson = runChild("skewmelt", sfDir, cpus, amplify)
     val loadSkew1 = loadavg()
     System.err.println(s"[bench] skew (melt demo): $skewJson")
+    settle()
     val loadSkewSub0 = loadavg()
     val skewSubJson = runChild("skew", sfDir, cpus, amplify)
       .replace("\"skew_", "\"skew_subthreshold_")
@@ -143,6 +147,21 @@ object Bench {
       s""""loadavg_sweep":[$loadSweep0,$loadSweep1],"loadavg_join":[$loadJoin0,$loadJoin1],"loadavg_shuffle_join":[$loadShuffle0,$loadShuffle1],"loadavg_skew":[$loadSkew0,$loadSkew1],"loadavg_skew_subthreshold":[$loadSkewSub0,$loadSkewSub1],""" +
       s""""cpus":$cpus}""")
     spark.stop()
+  }
+
+  /** Bounded cool-down between sections: the previous section's own
+    * tasks inflate the 1-minute loadavg and bleed into the next
+    * section's reps (every round-4 artifact shows the skew section
+    * starting at the shuffle section's peak). Waits until the host
+    * settles below `target` or `maxWaitSec` elapses — sections should
+    * measure plans, not each other's wakes. */
+  private def settle(maxWaitSec: Int = 90, target: Double = 6.0): Unit = {
+    val t0 = System.nanoTime()
+    var la = loadavg()
+    while (la > target && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      Thread.sleep(5000)
+      la = loadavg()
+    }
   }
 
   private def jsonNum(json: String, key: String): Double =
