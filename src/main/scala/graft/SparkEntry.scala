@@ -157,42 +157,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q15_minhash_dups" -> ((s, dir) => {
-      // LSH candidates (12 bands x 3 rows: miss prob ~1e-12 at the
-      // planted-dup Jaccard >= 0.95, candidate volume ~3.6e-3 of pairs),
-      // then EXACT shingle-Jaccard refine — the output is the exact
-      // J>=0.5 pair set, which DuckDB recomputes by brute force.
-      // Refine data motion: each doc is projected ONCE to its sorted
-      // distinct shingle-hash array; candidate pairs exchange those
-      // (8 B/shingle) instead of shipping the full text twice and
-      // re-shingling both sides per pair.
-      val d = s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
-      // candidate generation + over-cap accounting + small/large routing
-      // in TWO Spark actions total (r3 verdict item 2: the previous
-      // count + conditional collect on top of the library's own two
-      // actions made q15's cold path ~18 jobs of scheduling latency)
-      val cs = TextOps.minhashCandidateSet(d)
-      val cands = cs.pairs
-      // only docs that appear in a candidate pair need the projection.
-      // When the pair set is small the ids become an In filter PUSHED TO
-      // THE PARQUET SCAN (no semi-join, no shuffle); above the cap the
-      // distributed semi-join path takes over.
-      val base = cs.localPairs match {
-        case Some(local) =>
-          val ids = local.flatMap(p => Seq(p._1, p._2)).distinct
-          d.filter(col("doc_id").isin(ids.toSeq: _*))
-        case None =>
-          val ids = cands.select(col("doc_a").as("doc_id"))
-            .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-          d.join(ids, Seq("doc_id"), "left_semi")
-      }
-      val sh = base.select(col("doc_id"), TextOps.shingleHashes(col("text")).as("__sh"))
-      val sa = sh.select(col("doc_id").as("doc_a"), col("__sh").as("__sa"))
-      val sb = sh.select(col("doc_id").as("doc_b"), col("__sh").as("__sb"))
-      cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-        .withColumn("jaccard", TextOps.hashedJaccard(col("__sa"), col("__sb")))
-        .filter(col("jaccard") >= 0.5)
+      exactDupPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q45_dup_clusters" -> ((s, dir) => {
+      // canonical-document selection: near-dup pairs chain (A~B~C), so
+      // the kept doc must be chosen per CONNECTED COMPONENT, not per
+      // pair — distributed min-label propagation over the exact J>=0.5
+      // pair graph (TextOps.dupClusters; no driver-side union-find).
+      // DuckDB recomputes the components by transitive closure
+      // (recursive CTE) over the same brute-force pair set.
+      TextOps.dupClusters(exactDupPairs(s, dir), "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
     }),
     "q16_simhash" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -551,6 +529,40 @@ object SparkEntry {
         .orderBy(col("band"))
     })
   )
+
+  /** q15/q45's shared dedup pipeline: LSH candidates (12 bands x 3
+    * rows: miss prob ~1e-12 at the planted-dup Jaccard >= 0.95,
+    * candidate volume ~3.6e-3 of pairs), then EXACT shingle-Jaccard
+    * refine — the output is the exact J>=0.5 pair set, which DuckDB
+    * recomputes by brute force. Refine data motion: each doc is
+    * projected ONCE to its sorted distinct shingle-hash array;
+    * candidate pairs exchange those (8 B/shingle) instead of shipping
+    * the full text twice and re-shingling both sides per pair.
+    * Candidate generation + over-cap accounting + small/large routing
+    * run in TWO Spark actions total; when the pair set is small the
+    * ids become an In filter PUSHED TO THE PARQUET SCAN (no semi-join,
+    * no shuffle), above the cap a distributed semi-join takes over. */
+  private def exactDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+    val cs = TextOps.minhashCandidateSet(d)
+    val cands = cs.pairs
+    val base = cs.localPairs match {
+      case Some(local) =>
+        val ids = local.flatMap(p => Seq(p._1, p._2)).distinct
+        d.filter(col("doc_id").isin(ids.toSeq: _*))
+      case None =>
+        val ids = cands.select(col("doc_a").as("doc_id"))
+          .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+        d.join(ids, Seq("doc_id"), "left_semi")
+    }
+    val sh = base.select(col("doc_id"), TextOps.shingleHashes(col("text")).as("__sh"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("__sh").as("__sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("__sh").as("__sb"))
+    cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("jaccard", TextOps.hashedJaccard(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** q41/q42's deterministic polar latitude (80.0..89.6 deg, ~half the
     * docs above 85 at every SF), shared literal-for-literal with the
@@ -998,6 +1010,26 @@ object SparkEntry {
            |FROM embeddings
            |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvec) DESC, vec_id LIMIT 20""".stripMargin
       },
+      "q45_dup_clusters" ->
+        """WITH RECURSIVE d AS (
+          | SELECT doc_id, list_distinct(list_transform(
+          |   range(1, greatest(len(words) - 2, 0) + 1),
+          |   i -> array_to_string(words[i:i+2], ' '))) AS sh
+          | FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+          |       FROM documents)),
+          |e AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
+          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+          |             any_value(a.n) AS na, any_value(b.n) AS nb
+          |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |dup AS (SELECT doc_a, doc_b FROM p WHERE inter / (na + nb - inter) >= 0.5),
+          |edges AS (SELECT doc_a AS s, doc_b AS t FROM dup
+          |          UNION SELECT doc_b, doc_a FROM dup),
+          |reach(id, r) AS (
+          | SELECT s, s FROM edges
+          | UNION
+          | SELECT ed.t, reach.r FROM reach JOIN edges ed ON ed.s = reach.id)
+          |SELECT id AS doc_id, min(r) AS cluster_id
+          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
       "q44_hull_subset" ->
         s"""SELECT doc_id, round(lat, 4) AS lat_r, round(lon, 4) AS lon_r
            |FROM $ptsSql WHERE ${regionPredSql(region("europe_c"))}

@@ -319,6 +319,59 @@ object TextOps {
       .filter(col(aName) < col(bName))
       .distinct()
 
+  /** Connected components over a duplicate-pair graph -> canonical id
+    * per document (the step AFTER pair generation in a dedup pipeline:
+    * near-dup pairs chain A~B~C, and the kept document must be chosen
+    * per COMPONENT, not per pair). Distributed min-label propagation:
+    * every node starts as its own label; each round pulls the minimum
+    * neighbor label; fixpoint when no label changes. Rounds are bounded
+    * by the component diameter — near-dup components are dense
+    * (near-cliques through shared buckets), so convergence is fast; the
+    * iteration cap guards pathological chains and is logged if hit.
+    * No driver-side union-find: state is a (id, label) frame, each
+    * round one join + one aggregation, checkpoint-free because the
+    * label frame is re-persisted and the old cache released per round.
+    *
+    * Returns (id, cluster_id) where cluster_id = min id reachable. */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  maxIter: Int = 25): DataFrame = {
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    persisted += edges
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist()
+    persisted += labels
+    labels.count()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = edges.join(labels.select(col("id").as("src"), col("cluster_id")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("cluster_id")).as("__nbr"))
+      val next = labels.withColumnRenamed("cluster_id", "__old")
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("__old"), coalesce(col("__nbr"), col("__old"))).as("cluster_id"),
+          col("__old"))
+        .persist()
+      persisted += next
+      changed = next.filter(col("cluster_id") =!= col("__old")).count()
+      labels = next.drop("__old")
+      it += 1
+    }
+    if (changed > 0)
+      System.err.println(s"[dupClusters] iteration cap $maxIter hit with $changed labels still moving")
+    // materialize once, then release every per-round cache (each round's
+    // frame fed two consumers — the change count and the next round)
+    val result = labels.persist()
+    result.count()
+    persisted.foreach(_.unpersist(false))
+    result
+  }
+
   /** SimHash (64-bit) over word hashes: per-bit majority vote of the
     * word-hash population. One UDF pass (the SQL formulation needed 64
     * aggregate scans per row). */

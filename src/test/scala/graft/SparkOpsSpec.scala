@@ -245,6 +245,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cand.contains((1L, 3L)) && !cand.contains((3L, 4L)))
   }
 
+  test("dup clusters: min-label propagation equals transitive components") {
+    import spark.implicits._
+    // components: {1,2,3,9} via a CHAIN (1-2, 2-3, 3-9: labels must
+    // propagate transitively, not just one hop), {5,6}, {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L)).toDF("doc_a", "doc_b")
+    val got = TextOps.dupClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    // returned frame stays usable; intermediates are released (the one
+    // surviving cache is the materialized result itself)
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1)
+  }
+
   test("hashed shingle-set Jaccard equals exact string-shingle Jaccard") {
     import spark.implicits._
     // the q15 refine path: per-doc shingle-hash projection + sorted-merge
