@@ -316,6 +316,17 @@ object SparkEntry {
         .select(col("url"), col("byte_len"), col("width"), col("height"))
         .orderBy(col("url"))
     }),
+    "q46_resize" -> ((s, dir) => {
+      // multimodal resize plumbing (binary -> binary, dims as metadata,
+      // batched mapPartitions) through the hard signal: the stub
+      // thumbnail's byte content is pinned by an exact digest (sum of
+      // thumb bytes = 2 x the byte-sum of the payload FNV for
+      // targetH=16), which DuckDB recomputes in HUGEINT arithmetic.
+      Multimodal.resize(Webtext.table(s, dir), targetW = 32, targetH = 16)
+        .select(col("url"), col("width"), col("height"),
+          byteSum(col("thumb")).as("thumb_sum"))
+        .orderBy(col("url"))
+    }),
     "q30_adaptive_index" -> ((s, dir) => {
       // adaptive-level encode: resolution from a per-row neighbor distance
       Webtext.geotagged(Webtext.table(s, dir))
@@ -666,6 +677,14 @@ object SparkEntry {
     math.abs(total - 4 * math.Pi) < 1e-9
   }
 
+  /** unsigned byte sum of a binary column (q46's thumbnail digest). */
+  private val byteSum = udf((b: Array[Byte]) => {
+    var s = 0L
+    var i = 0
+    while (i < b.length) { s += b(i) & 0xff; i += 1 }
+    s
+  })
+
   /** structural WKT validation: MULTIPOLYGON of closed 4-point rings
     * with in-range coordinates (exercises to_trixels + antimeridian
     * splitting; mirrored by a constant `true` in the oracle). */
@@ -932,6 +951,17 @@ object SparkEntry {
            |  (64 + habs % 1024)::INTEGER AS width,
            |  (64 + (CASE WHEN h10 < 0::HUGEINT THEN -h10 ELSE h10 END) % 1024)::INTEGER AS height
            |FROM s ORDER BY url""".stripMargin
+      },
+      "q46_resize" -> {
+        val html = "'<html><body>' || text || '</body></html>'"
+        s"""WITH h AS (
+           | SELECT 'https://crawl.example/' || lang || '/' || source || '/' || doc_id AS url,
+           |        ${fnvSql(html)} AS hu
+           | FROM documents)
+           |SELECT url, 32 AS width, 16 AS height,
+           |  2 * list_sum(list_transform(range(0, 8),
+           |      j -> ((hu // (1::HUGEINT << (8 * j))) % 256)::BIGINT))::BIGINT AS thumb_sum
+           |FROM h ORDER BY url""".stripMargin
       },
       "q30_adaptive_index" ->
         """SELECT least(greatest(CAST(ceil(log2(90.0 / ((doc_id % 20 + 1) / 4.0))) AS BIGINT), 0), 27)
