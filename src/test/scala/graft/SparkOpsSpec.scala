@@ -250,13 +250,14 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // components: {1,2,3,9} via a CHAIN (1-2, 2-3, 3-9: labels must
     // propagate transitively, not just one hop), {5,6}, {7,8}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L)).toDF("doc_a", "doc_b")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val got = TextOps.dupClusters(pairs, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
-    // returned frame stays usable; intermediates are released (the one
-    // surviving cache is the materialized result itself)
-    assert(spark.sparkContext.getPersistentRDDs.size <= 1)
+    // intermediates are released: relative to the suite session's
+    // pre-existing caches, at most the materialized result survives
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore + 1)
   }
 
   test("hashed shingle-set Jaccard equals exact string-shingle Jaccard") {
