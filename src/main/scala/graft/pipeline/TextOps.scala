@@ -334,13 +334,40 @@ object TextOps {
     *
     * Returns (id, cluster_id) where cluster_id = min id reachable. */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                  maxIter: Int = 25): DataFrame = {
+                  maxIter: Int = 25, localEdgeCap: Long = 500000L): DataFrame = {
+    val spark = pairs.sparkSession
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist()
     persisted += edges
+    // Small-graph fast path (the q15 In-pushdown pattern): a dedup pair
+    // graph under the cap collects once and union-finds on the driver —
+    // one action instead of 2 per propagation round. The distributed
+    // propagation below is the scale path for pair graphs that do not
+    // fit a driver collect (the cap bounds memory at ~16 B/edge).
+    val edgeCount = edges.count()
+    if (edgeCount <= localEdgeCap) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      return parent.keysIterator.map(id => (id, find(id))).toSeq.sorted
+        .toDF("id", "cluster_id")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .persist()

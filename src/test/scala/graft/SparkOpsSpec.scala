@@ -258,6 +258,11 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // intermediates are released: relative to the suite session's
     // pre-existing caches, at most the materialized result survives
     assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore + 1)
+    // the DISTRIBUTED propagation path (localEdgeCap=0 disables the
+    // driver union-find fast path) must agree exactly
+    val distributed = TextOps.dupClusters(pairs, "doc_a", "doc_b", localEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === got)
   }
 
   test("hashed shingle-set Jaccard equals exact string-shingle Jaccard") {
