@@ -67,8 +67,8 @@ object Skew {
                             maxExtraLevels: Int = 6,
                             knownMinLeftLevel: Option[Int] = None,
                             wallClockGate: Boolean = true,
-                            assumedReduceRowsPerSec: Double = 2e6,
-                            assumedFixedOverheadSec: Double = 4.0): SplitResult = {
+                            assumedReduceRowsPerSec: Double = Double.NaN,
+                            assumedFixedOverheadSec: Double = Double.NaN): SplitResult = {
     // per-cell sample counts (cells normalized at own level). The
     // groupBy also yields the exploded (row, cell) PAIR count — the
     // quantity the join actually shuffles/broadcasts (a distinct-cell
@@ -143,14 +143,28 @@ object Skew {
     // = the melt the hot reducer carries beyond its fair share, at the
     // measured reducer sort rate (~2M rows/s, BENCH.md). Mechanism/unit
     // tests and callers that want max-task balance regardless of wall
-    // clock pass wallClockGate = false.
+    // clock pass wallClockGate = false. The rate/overhead constants are
+    // host-dependent (ours come from the bench box, BENCH.md): a
+    // deployment with slower reducers sets the conf keys below so an
+    // explicit splitHot request doesn't silently no-op where a
+    // sub-4s-projected melt is in fact material (ADVICE r5).
     if (wallClockGate) {
-      val projectedSaveSec = (estHot - fairShare) / assumedReduceRowsPerSec
-      if (projectedSaveSec <= assumedFixedOverheadSec)
+      def confDouble(key: String, fallback: Double): Double =
+        try conf.get(key, fallback.toString).toDouble catch { case _: Exception => fallback }
+      val reduceRowsPerSec =
+        if (assumedReduceRowsPerSec.isNaN)
+          confDouble("spark.graft.skew.reduceRowsPerSec", 2e6)
+        else assumedReduceRowsPerSec
+      val fixedOverheadSec =
+        if (assumedFixedOverheadSec.isNaN)
+          confDouble("spark.graft.skew.splitOverheadSec", 4.0)
+        else assumedFixedOverheadSec
+      val projectedSaveSec = (estHot - fairShare) / reduceRowsPerSec
+      if (projectedSaveSec <= fixedOverheadSec)
         return skip(f"projected wall-clock saving ~$projectedSaveSec%.1f s " +
           f"((hot ~${estHot}%.0f - fair ~$fairShare%.0f rows) / " +
-          f"${assumedReduceRowsPerSec}%.0f rows/s) does not cover the " +
-          f"~$assumedFixedOverheadSec%.1f s fixed split overhead")
+          f"${reduceRowsPerSec}%.0f rows/s) does not cover the " +
+          f"~$fixedOverheadSec%.1f s fixed split overhead")
     }
 
     // Phase B: descendant counts of the HOT cells only, from the same

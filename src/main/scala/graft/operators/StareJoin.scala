@@ -332,9 +332,28 @@ object StareJoin {
     * whole upstream plan, plus an InternalRow->Row->InternalRow round
     * trip; the packed id needs ZERO extra jobs and stays on
     * InternalRows (shim.withPackedIdColumn). Ids are unique and stable
-    * but not contiguous — no caller depends on contiguity. */
-  private[operators] def withStableId(df: DataFrame, name: String): DataFrame =
-    org.apache.spark.sql.graft.shim.withPackedIdColumn(df, name)
+    * but not contiguous — no caller depends on contiguity.
+    *
+    * Order stabilization (ADVICE r5): packed ids are a function of
+    * intra-partition row ORDER, which an exchange-bearing lineage does
+    * not guarantee across the two subtrees that evaluate the id frame
+    * (pair derivation + join-back). When the optimized plan carries an
+    * exchange, rows are first sorted WITHIN partitions by every
+    * orderable column — no extra shuffle, no cache, and the id becomes
+    * a pure function of partition CONTENT (hash partitioning fixes
+    * content; only arrival order was unstable). Scan/narrow/cached
+    * lineages — every hot bench path — skip the sort entirely. */
+  private[operators] def withStableId(df: DataFrame, name: String): DataFrame = {
+    val shim = org.apache.spark.sql.graft.shim
+    val stabilized =
+      if (!shim.hasOrderHazard(df)) df
+      else {
+        val orderable = df.schema.fields.filter(f => shim.isOrderable(f.dataType))
+          .map(f => col(f.name))
+        if (orderable.isEmpty) df else df.sortWithinPartitions(orderable.toIndexedSeq: _*)
+      }
+    shim.withPackedIdColumn(stabilized, name)
+  }
 
   /** General cover-vs-cover join (both sides array covers).
     *

@@ -54,13 +54,24 @@ object AnnOps {
     * re-mixing integers per (row, plane, dim) — ~6 ops per element saved
     * on the signature hot loop. */
   private object PlaneCache {
+    // bounded: distinct (offset, planes, dim) configs are few in any one
+    // job, but a long-lived executor serving many tenants must not
+    // retain every config it ever saw — on overflow the map is cleared
+    // (recompute is cheap and deterministic), never left to grow
+    private val MaxEntries = 64
     private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
-    def components(offset: Int, planes: Int, dim: Int): Array[Double] =
+    def components(offset: Int, planes: Int, dim: Int): Array[Double] = {
+      if (cache.size > MaxEntries) cache.clear()
       cache.computeIfAbsent((offset, planes, dim), { key =>
         val (off, p, d) = key
         Array.tabulate(p * d)(j => planeComponent(off + j / d, j % d))
       })
+    }
+    private[pipeline] def sizeNow: Int = cache.size
   }
+  private[pipeline] def planeCacheSize: Int = PlaneCache.sizeNow
+  private[pipeline] def planeCacheFill(configs: Int): Unit =
+    (0 until configs).foreach(i => PlaneCache.components(1000 + i, 1, 1))
 
   /** sign-bit signature of a vector against `planes` hyperplanes
     * starting at global plane index `offset`. */
@@ -273,11 +284,16 @@ object AnnOps {
     * anywhere, but at scale use the precomputed-column overloads below
     * so the probe prunes FILES instead of re-running the quantizer. */
   def ivfTopK(emb: DataFrame, vecCol: String, idCol: String, query: Array[Float], k: Int,
-              centroids: Array[Array[Double]], nprobe: Int): DataFrame =
-    ivfTopKAssigned(emb.withColumn(ClusterCol, ivfAssign(emb, vecCol, centroids)),
-      vecCol, idCol, ClusterCol, query, k, centroids, nprobe)
-      .drop(ClusterCol) // the inline assignment is an implementation detail,
+              centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    // collision-proof internal name: assigning to ClusterCol directly
+    // would silently overwrite (and then drop) a caller's own
+    // 'ivf_cluster' column, changing the output schema vs the input
+    val tmp = "__ivf_cluster_tmp"
+    ivfTopKAssigned(emb.withColumn(tmp, ivfAssign(emb, vecCol, centroids)),
+      vecCol, idCol, tmp, query, k, centroids, nprobe)
+      .drop(tmp) // the inline assignment is an implementation detail,
       // not part of ivfTopK's output contract
+  }
 
   /** The partition/assignment column written by writeClustered. */
   val ClusterCol = "ivf_cluster"

@@ -365,7 +365,11 @@ object TextOps {
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       import spark.implicits._
-      return parent.keysIterator.map(id => (id, find(id))).toSeq.sorted
+      // snapshot the keys before mapping: find() path-compresses into the
+      // same HashMap, and iterating a map while mutating it (even
+      // value-only updates) is not contractually defined behavior
+      val ks = parent.keysIterator.toArray
+      return ks.map(id => (id, find(id))).toSeq.sorted
         .toDF("id", "cluster_id")
     }
     var labels = edges.select(col("src").as("id")).distinct()

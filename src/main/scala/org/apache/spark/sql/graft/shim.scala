@@ -36,13 +36,23 @@ object shim {
     * partition-count job that re-evaluates the whole upstream plan) and
     * no InternalRow -> Row -> InternalRow re-encode (unlike df.rdd).
     *
-    * The id is a pure function of the partitioned input — deterministic
-    * across re-computations of the same lineage, which is the property
-    * the join-back/pair-dedup call sites need — and unique as long as no
-    * partition exceeds 2^40 rows (enforced) and there are fewer than
-    * 2^23 partitions (far beyond local or per-stage executor counts;
-    * enforced too). Values are NOT contiguous, by design: contiguity
-    * would cost a second evaluation of the plan. */
+    * DETERMINISM CONTRACT (ADVICE r5): the id is a pure function of the
+    * input's per-partition row ORDER. Scans, narrow ops, and cached
+    * (materialized) frames have deterministic order; rows arriving
+    * through an exchange (join/aggregate/repartition/...) do NOT — the
+    * shuffle-fetch arrival order can differ between two independent
+    * evaluations of the same plan, and call sites that evaluate the
+    * id-bearing frame in TWO subtrees of one query (shuffleJoin's left
+    * path, StareJoin.join) would pair rows against mismatched ids.
+    * Callers with such lineages must stabilize order first —
+    * StareJoin.withStableId does this automatically via
+    * `hasOrderHazard` + an intra-partition sort.
+    *
+    * Ids are unique as long as no partition exceeds 2^40 rows
+    * (enforced) and there are fewer than 2^23 partitions (far beyond
+    * local or per-stage executor counts; enforced too). Values are NOT
+    * contiguous, by design: contiguity would cost a second evaluation
+    * of the plan. */
   def withPackedIdColumn(df: DataFrame, name: String): DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     val spark = ds.sparkSession
@@ -66,4 +76,26 @@ object shim {
     }
     spark.internalCreateDataFrame(rdd, schema)
   }
+
+  /** True when the frame's lineage can deliver rows in a partition in a
+    * NON-deterministic order across independent evaluations: any
+    * exchange-bearing operator (join, aggregate, window, repartition,
+    * global sort — sorts are only deterministic up to key ties, so they
+    * count) below it. Uses the OPTIMIZED plan so cache substitution has
+    * happened: a materialized InMemoryRelation is a leaf with frozen
+    * block order — deterministic, and traversal stops there. */
+  def hasOrderHazard(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    ds.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort => true
+      case _: RepartitionOperation | _: Deduplicate     => true
+      case _: Except | _: Intersect                     => true
+      case _                                            => false
+    }
+  }
+
+  /** Orderable per Catalyst's ordering rules (MapType is not). */
+  def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
 }
