@@ -460,6 +460,20 @@ object SparkEntry {
       AnnOps.ivfTopK(emb, "embedding", "vec_id", q, 20, cents, nprobe = 16)
         .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim_r"))
     }),
+    "q47_ivf_batch" -> ((s, dir) => {
+      // BATCHED retrieval (one scan answers the whole query batch —
+      // the shape real retrieval sends): probe sets per query on the
+      // driver, broadcast (qid, cluster) probe-pair join, per-query
+      // window top-k. nprobe = k(centroids) probes every cluster, so
+      // each query's result provably equals its brute-force top-k,
+      // which the oracle recomputes per query; pruned-probe file
+      // pruning is proven in AnnOpsSpec.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = AnnOps.trainCentroids(emb, "embedding", "vec_id", k = 16)
+      AnnOps.ivfTopKBatch(emb, "embedding", "vec_id", batchQueryVecs, 20, cents, nprobe = 16)
+        .select(col("qid"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim_r"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     "q44_hull_subset" -> ((s, dir) => {
       // convex-hull cover as the prune (was golden-only): the hull of
       // the europe_c box corners inflated by 2.5 deg is a spherical
@@ -615,6 +629,14 @@ object SparkEntry {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** q47's query batch: three deterministic float32-truncated vectors
+    * (the float-then-double pattern of q17/q38 keeps both engines'
+    * cosine arithmetic bit-aligned). */
+  private[graft] val batchQueryVecs: Seq[(Long, Array[Float])] = Seq(
+    0L -> Array.tabulate(64)(i => (math.sin(i + 1) / 8.0).toFloat),
+    1L -> Array.tabulate(64)(i => (math.cos(i + 1) / 8.0).toFloat),
+    2L -> Array.tabulate(64)(i => (math.sin(2.0 * (i + 1)) / 8.0).toFloat))
 
   /** q41/q42's deterministic polar latitude (80.0..89.6 deg, ~half the
     * docs above 85 at every SF), shared literal-for-literal with the
@@ -1086,6 +1108,18 @@ object SparkEntry {
         s"""SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], $qvec), 4) AS cos_sim_r
            |FROM embeddings
            |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvec) DESC, vec_id LIMIT 20""".stripMargin
+      },
+      "q47_ivf_batch" -> {
+        val qvals = batchQueryVecs.map { case (qid, arr) =>
+          s"($qid::BIGINT, ${arr.map(_.toDouble).mkString("[", ",", "]")}::DOUBLE[])"
+        }.mkString(", ")
+        s"""WITH q AS (SELECT * FROM (VALUES $qvals) AS t(qid, qv)),
+           |s AS (SELECT qid, vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS cs
+           |      FROM q CROSS JOIN embeddings),
+           |r AS (SELECT qid, vec_id, cs,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rk FROM s)
+           |SELECT qid, vec_id, round(cs, 4) AS cos_sim_r FROM r WHERE rk <= 20
+           |ORDER BY qid, vec_id""".stripMargin
       },
       "q45_dup_clusters" ->
         """WITH RECURSIVE d AS (

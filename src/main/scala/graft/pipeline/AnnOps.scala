@@ -334,4 +334,80 @@ object AnnOps {
                        centroids: Array[Array[Double]], nprobe: Int): DataFrame =
     ivfTopKAssigned(spark.read.parquet(path), vecCol, idCol, ClusterCol,
       query, k, centroids, nprobe)
+
+  // ------------------------------------------------- batched retrieval
+
+  /** Batched IVF top-k (r4 verdict item 6): real retrieval sends query
+    * BATCHES, not single vectors — looping ivfTopK scans the table once
+    * per query. Here ONE scan of the union of all probed clusters
+    * answers every query: per-query probe sets are computed on the
+    * driver (a retrieval batch is a bounded request set, not a corpus),
+    * the (qid, cluster) probe pairs broadcast-join against the table's
+    * assignment column — fanning each row out ONLY to the queries that
+    * probe its cluster — one cosine pass scores, and a per-query window
+    * takes the top k. Each query's result is identical to its looped
+    * ivfTopKAssigned call (test-pinned): a row reaches a query's rank
+    * window iff its cluster is in that query's probe set, exactly the
+    * looped filter.
+    *
+    * Over a writeClustered table the union-of-probes isin is a pure
+    * partition predicate, so files outside EVERY query's probe set are
+    * never listed (file-count proof in AnnOpsSpec). Output: the table's
+    * columns + qid + cos_sim, k rows per query. */
+  def ivfTopKBatch(emb: DataFrame, vecCol: String, idCol: String, clusterCol: String,
+                   queries: Seq[(Long, Array[Float])], k: Int,
+                   centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probes: Seq[(Long, Int)] = queries.flatMap { case (qid, qv) =>
+      probeClusters(qv, centroids, nprobe).map(c => (qid, c))
+    }
+    val probedUnion = probes.map(_._2).distinct
+    // the query vectors ride the closure once per executor, keyed by qid
+    val qmap: Map[Long, Seq[Float]] = queries.map { case (qid, qv) => qid -> qv.toSeq }.toMap
+    val simUdf = udf((qid: Long, v: Seq[Float]) => cos(v, qmap(qid)))
+    val probeDf = probes.toDF("qid", "__probe_cluster")
+    emb.filter(col(clusterCol).isin(probedUnion: _*))
+      .join(broadcast(probeDf), col(clusterCol) === col("__probe_cluster"))
+      .drop("__probe_cluster")
+      .withColumn("cos_sim", simUdf(col("qid"), col(vecCol)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Batch over a table WITHOUT a precomputed assignment: assigns
+    * inline (collision-proof internal column, like ivfTopK). */
+  def ivfTopKBatch(emb: DataFrame, vecCol: String, idCol: String,
+                   queries: Seq[(Long, Array[Float])], k: Int,
+                   centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val tmp = "__ivf_cluster_tmp"
+    ivfTopKBatch(emb.withColumn(tmp, ivfAssign(emb, vecCol, centroids)),
+      vecCol, idCol, tmp, queries, k, centroids, nprobe).drop(tmp)
+  }
+
+  /** DataFrame-batch overload: collects the (qid, vector) batch to the
+    * driver, capped — a batch beyond the cap is a caller bug (split
+    * it), not something to stream through a quadratic cross join. */
+  def ivfTopKBatch(emb: DataFrame, vecCol: String, idCol: String, clusterCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+                   centroids: Array[Array[Double]], nprobe: Int,
+                   maxBatch: Int): DataFrame = {
+    val rows = queries.select(col(qidCol), col(qvecCol)).limit(maxBatch + 1).collect()
+    require(rows.length <= maxBatch,
+      s"query batch exceeds maxBatch=$maxBatch rows: split the batch")
+    val qs = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    ivfTopKBatch(emb, vecCol, idCol, clusterCol, qs, k, centroids, nprobe)
+  }
+
+  /** Batched probes against a writeClustered table (file pruning on the
+    * union of every query's probed clusters). */
+  def ivfTopKBatchClustered(spark: org.apache.spark.sql.SparkSession, path: String,
+                            vecCol: String, idCol: String,
+                            queries: Seq[(Long, Array[Float])], k: Int,
+                            centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    ivfTopKBatch(spark.read.parquet(path), vecCol, idCol, ClusterCol,
+      queries, k, centroids, nprobe)
 }

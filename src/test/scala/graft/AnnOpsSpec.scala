@@ -129,4 +129,72 @@ class AnnOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"nprobe=$nprobe/4: recall@10 $recall%.2f, files $scanned/$totalFiles")
     assert(recall >= 0.9) // the probed-first cluster carries the axis-aligned top-k
   }
+
+  test("batched IVF top-k equals the looped per-query ivfTopK (all nprobe settings)") {
+    val emb = clusteredEmb
+    val cents = AnnOps.trainCentroids(emb, "embedding", "vec_id", k = 4, sampleCap = 400)
+    val queries: Seq[(Long, Array[Float])] = Seq(
+      10L -> Array.tabulate(8)(i => if (i == 0) 1.0f else 0.05f),
+      11L -> Array.tabulate(8)(i => if (i == 4) 1.0f else -0.05f),
+      12L -> Array.tabulate(8)(i => ((i + 1) / 10.0).toFloat))
+    Seq(1, 2, 4).foreach { np =>
+      val batch = AnnOps.ivfTopKBatch(emb, "embedding", "vec_id", queries, 5, cents, nprobe = np)
+        .select("qid", "vec_id", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(x => (-x._3, x._2)).map(x => (x._2, x._3)).toSeq).toMap
+      queries.foreach { case (qid, qv) =>
+        val looped = AnnOps.ivfTopK(emb, "embedding", "vec_id", qv, 5, cents, nprobe = np)
+          .select("vec_id", "cos_sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) === looped, s"qid=$qid nprobe=$np")
+      }
+    }
+  }
+
+  test("batched IVF over a clustered table reads ONLY the union of probed clusters' files") {
+    val emb = clusteredEmb
+    val cents = AnnOps.trainCentroids(emb, "embedding", "vec_id", k = 4, sampleCap = 400)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_batch_clustered").toString
+    AnnOps.writeClustered(emb, "embedding", cents, dir)
+    // two queries on different axes, nprobe=1 each: the union is 2 of 4
+    // clusters (assert that, so the pruning claim is non-vacuous)
+    val queries: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f),
+      1L -> Array.tabulate(8)(i => if (i == 4) 1.0f else 0.0f))
+    val union = queries.flatMap(q => AnnOps.probeClusters(q._2, cents, 1)).distinct
+    assert(union.size == 2, s"fixture queries must probe two distinct clusters, got $union")
+    def filesUnder(c: Int): Int = {
+      val d = new java.io.File(s"$dir/${AnnOps.ClusterCol}=$c")
+      if (!d.exists) 0 else d.listFiles.count(_.getName.endsWith(".parquet"))
+    }
+    val allClusters = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName.stripPrefix(s"${AnnOps.ClusterCol}=").toInt).toSeq
+    val expectedFiles = union.map(filesUnder).sum
+    val totalFiles = allClusters.map(filesUnder).sum
+    assert(expectedFiles > 0 && expectedFiles < totalFiles)
+    // metrics must come from the EXECUTED dataset's own queryExecution
+    // (a derived select() is a different plan whose parent never ran)
+    val top = AnnOps.ivfTopKBatchClustered(spark, dir, "embedding", "vec_id",
+      queries, 5, cents, nprobe = 1).select("qid", "vec_id")
+    val got = top.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).distinct.sorted === Array(0L, 1L))
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // QueryStageExec nodes are LEAF wrappers under AQE (the broadcast
+    // probe side materializes as a stage): descend through .plan or the
+    // scan below the join is invisible to a children-only traversal
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case o                        => o.children.flatMap(scans)
+    }
+    val scanNodes = scans(top.queryExecution.executedPlan)
+    assert(scanNodes.nonEmpty, "no FileSourceScanExec in the executed batch plan")
+    // only the clustered-table scan counts (the probe-pair side is a
+    // local relation, but be explicit in case it ever becomes a file scan)
+    val scanned = scanNodes.filter(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned === expectedFiles,
+      s"batch scan read $scanned files; the probed union holds $expectedFiles of $totalFiles")
+  }
 }
