@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Sid, Tiv}
@@ -90,8 +91,19 @@ object Pods {
       .option("partitionOverwriteMode", "dynamic") // per-write, not session-wide
       .partitionBy(partCols: _*).parquet(path)
 
-    // manifests from the COMMITTED files: one narrow column scan of the
-    // store (sid + partition values [+ ts]), no recompute of the input.
+    commitStore(spark, path, sidCol, hasTchunk = tsCol.isDefined, tsCol = tsCol,
+      podLevel = podLevel, chunkMs = chunkMs, lineageId = lineageId)
+  }
+
+  /** Derive per-partition manifests from the COMMITTED files — one
+    * narrow column scan of the store (sid + partition values [+ ts]),
+    * no recompute of the input — then atomically commit the
+    * consolidated manifest and snapshot. Shared by write() and
+    * reconcile(): both must describe exactly what is on disk. */
+  private def commitStore(spark: SparkSession, path: String, sidCol: String,
+                          hasTchunk: Boolean, tsCol: Option[String], podLevel: Int,
+                          chunkMs: Long, lineageId: String): Unit = {
+    val partCols = "pod" +: (if (hasTchunk) Seq("tchunk") else Seq.empty)
     // partition-value types are INFERRED on read (small tchunk values
     // come back as int): normalize to long before aggregating
     val back = partCols.foldLeft(spark.read.parquet(path))((d, c) =>
@@ -105,7 +117,7 @@ object Pods {
     val rows = back.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*).collect()
     val mans = rows.map { r =>
       val pod = r.getLong(r.fieldIndex("pod"))
-      val tchunk = if (tsCol.isDefined) r.getLong(r.fieldIndex("tchunk")) else NoChunk
+      val tchunk = if (hasTchunk) r.getLong(r.fieldIndex("tchunk")) else NoChunk
       val (tsMin, tsMax) =
         if (tsCol.isDefined) (r.getLong(r.fieldIndex("tsMin")), r.getLong(r.fieldIndex("tsMax")))
         else (Long.MinValue, Long.MinValue)
@@ -124,10 +136,60 @@ object Pods {
     atomicWrite(manifestsFile(path).toString, entries.mkString("[\n", ",\n", "\n]"))
     val snapshot =
       s"""{"formatVersion":$FormatVersion,"lineageId":"$lineageId","podLevel":$podLevel,""" +
-        s""""hasTchunk":${tsCol.isDefined},"chunkMs":$chunkMs,""" +
+        s""""hasTchunk":$hasTchunk,"chunkMs":$chunkMs,""" +
         s""""pods":${mans.map(_.pod).distinct.length},"chunks":${mans.length},""" +
         s""""rows":${mans.map(_.rowCount).sum},"committedAtMs":${System.currentTimeMillis()}}"""
     atomicWrite(Paths.get(path, "_SNAPSHOT.json").toString, snapshot)
+  }
+
+  /** Fold a manifest-less (or manifest-stale) pod-partitioned store
+    * into the batch catalog machinery (r4 verdict item 8): the
+    * streaming sink (StreamingIndex.start) appends pod-partitioned
+    * parquet with exactly-once file-sink semantics but writes no
+    * manifests, so Pods.read over it pays a full listing and
+    * catalog() a data scan. reconcile() rebuilds the consolidated
+    * manifest + snapshot from what is actually on disk — the same one
+    * columnar scan and commit code path write() uses — after which
+    * listing-time spatial (and, with `tsCol`, temporal) pruning and
+    * the catalog serve streamed data exactly like a batch write.
+    * Layout: tchunk presence comes from the directory names; the pod
+    * level either from the caller (`podLevel` — StreamingIndex.start's
+    * value) or, when absent, inferred as the deepest bit ALIGNMENT any
+    * pod value needs (pod ids are location-only, starePod drops the
+    * level field, so the level is not self-describing). Inference can
+    * only come out SHALLOWER than the writer's level — and only when
+    * every pod's child bits below it are zero, in which case every pod
+    * sits on the shallower grid too, so podsForCover still generates
+    * all of them and read-side pruning stays exact (over-generation of
+    * nonexistent pods is filtered by manifest membership). Idempotent:
+    * re-running with the same lineage re-derives the same manifests;
+    * run after each stream batch (or on a schedule) to pick up
+    * appended files. */
+  def reconcile(spark: SparkSession, path: String, lineageId: String,
+                sidCol: String = "sid", tsCol: Option[String] = None,
+                chunkMs: Long = 30L * 86400000L,
+                podLevel: Option[Int] = None): Unit = {
+    val dir = Paths.get(path)
+    require(Files.exists(dir), s"no store at $path")
+    val podDirs = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(_.getFileName.toString.startsWith("pod=")).toArray
+      finally s.close()
+    }
+    require(podDirs.nonEmpty, s"no pod= directories under $path")
+    val hasTchunk = {
+      val s = Files.list(podDirs.head)
+      try s.iterator().asScala.exists(_.getFileName.toString.startsWith("tchunk="))
+      finally s.close()
+    }
+    val level = podLevel.getOrElse {
+      val podVals = podDirs.map(_.getFileName.toString.stripPrefix("pod=").toLong)
+      podVals.map { p =>
+        (0 to Sid.MaxLevel).find(a => (p & (Sid.increment(a) - 1L)) == 0L)
+          .getOrElse(Sid.MaxLevel)
+      }.max
+    }
+    commitStore(spark, path, sidCol, hasTchunk, tsCol, level, chunkMs, lineageId)
   }
 
   private def manifestsFile(path: String): Path = Paths.get(path, "_manifests", "manifests.json")

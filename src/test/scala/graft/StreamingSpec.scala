@@ -5,6 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import graft.core.Sid
+import graft.sources.Pods
 import graft.streaming.StreamingIndex
 
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -55,6 +57,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q3 = StreamingIndex.start(mem.toDF(), out, ckpt)
     q3.awaitTermination(60000)
     assert(spark.read.parquet(out).count() === 51)
+  }
+
+  test("Pods.reconcile folds a streamed store into manifest-driven pruned reads") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    mem.addData((1 to 60).map(i =>
+      Page(s"https://r/$i", new java.sql.Timestamp(t0.getTime + i * 60000L),
+        s"reconcile page $i with some words", "en")))
+    val out = java.nio.file.Files.createTempDirectory("rec_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rec_ckpt").toString
+    val q = StreamingIndex.start(mem.toDF(), out, ckpt)
+    q.awaitTermination(60000)
+
+    val full = spark.read.parquet(out)
+    val n = full.count()
+    assert(n === 60)
+    // before reconcile: no manifests, catalog falls back to a data scan
+    assert(Pods.manifests(out).isEmpty)
+
+    Pods.reconcile(spark, out, "stream-reconcile-1", tsCol = Some("warc_ts"))
+    assert(Pods.isCommitted(out, "stream-reconcile-1"))
+    // catalog invariant (the q31 rule): manifest row counts describe
+    // exactly what the stream committed
+    val cat = Pods.catalog(spark, out)
+    assert(cat.agg(sum(col("rowCount"))).collect()(0).getLong(0) === n)
+    assert(cat.select("lineageId").distinct().collect().map(_.getString(0)).toSeq ===
+      Seq("stream-reconcile-1"))
+
+    // pod level inferred from bit alignment (pod ids are location-only)
+    assert(Pods.snapshotPodLevel(out) === 4) // StreamingIndex.start's default
+    // spatial pruning at listing time: a one-pod cover (that pod's
+    // trixel as a level-4 sid) must read only that pod's directory and
+    // return exactly its rows
+    val someSid = full.orderBy("pod").select("sid").collect()(0).getLong(0)
+    val somePod = someSid & Sid.clearMask(4)
+    val got = Pods.read(spark, out, Array(somePod | 4L))
+    assert(got.count() === full.filter(col("pod") === somePod).count())
+    assert(got.inputFiles.nonEmpty && got.inputFiles.forall(_.contains(s"pod=$somePod")))
+
+    // temporal pruning from the reconciled ts bounds: a disjoint year
+    // prunes everything; a covering range loses nothing
+    val none = Pods.read(spark, out, Array(somePod | 4L),
+      timeRangeMs = Some((t0.getTime - 370L * 86400000L, t0.getTime - 365L * 86400000L)))
+    assert(none.count() === 0)
+    val all = Pods.read(spark, out, Array(somePod | 4L),
+      timeRangeMs = Some((t0.getTime - 86400000L, t0.getTime + 86400000L)))
+    assert(all.count() === got.count())
+
+    // append another stream batch, reconcile again (idempotent re-derive):
+    // the manifests pick up the new files
+    mem.addData(Page("https://r/61", new java.sql.Timestamp(t0.getTime + 61 * 60000L),
+      "reconcile late page", "en"))
+    val q2 = StreamingIndex.start(mem.toDF(), out, ckpt)
+    q2.awaitTermination(60000)
+    Pods.reconcile(spark, out, "stream-reconcile-2", tsCol = Some("warc_ts"))
+    assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 61)
   }
 
   test("windowed pod counts with watermark drop late rows past the threshold") {
