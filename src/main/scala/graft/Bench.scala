@@ -88,15 +88,39 @@ object Bench {
       spark.range(1000000).select(sum(col("id"))).collect()
     } catch { case _: Throwable => () }
 
-    val loadSweep0 = loadavg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try time(fn(spark, sfDir).count())
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
-      spark.catalog.clearCache() // queries are timed independently
-      name -> sec
+    // ---- storm-adaptive sweep (r4 verdict item 3): q01-q03 are plain
+    // Catalyst built-ins that never change with the STARE code — if
+    // their total inflates past 2x the recorded quiet number, the host
+    // was storming and the whole sweep re-runs once. The quieter sweep
+    // (by canary total) is the headline; the stormy one is kept under
+    // stormy_* keys so nothing is hidden.
+    def runSweep(): (Seq[(String, Double)], Double, Double) = {
+      val l0 = loadavg()
+      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val sec = try time(fn(spark, sfDir).count())
+        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+        System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+        spark.catalog.clearCache() // queries are timed independently
+        name -> sec
+      }
+      (rs, l0, loadavg())
     }
-    val loadSweep1 = loadavg()
+    def canary(rs: Seq[(String, Double)]): Double =
+      rs.filter(r => r._1.startsWith("q01") || r._1.startsWith("q02") || r._1.startsWith("q03"))
+        .map(_._2).filter(_ > 0).sum
+    val canaryQuietSec = sys.env.get("SPARK_GRAFT_CANARY_QUIET").map(_.toDouble).getOrElse(1.5)
+    val sweepA = runSweep()
+    val (sweep, stormySweep) =
+      if (canary(sweepA._1) <= 2 * canaryQuietSec) (sweepA, None)
+      else {
+        System.err.println(f"[bench] sweep canary ${canary(sweepA._1)}%.2f s > 2x quiet " +
+          f"$canaryQuietSec%.2f s — storm suspected, re-running the sweep once")
+        settle()
+        val sweepB = runSweep()
+        if (canary(sweepB._1) <= canary(sweepA._1)) (sweepB, Some(sweepA))
+        else (sweepA, Some(sweepB))
+      }
+    val (results, loadSweep0, loadSweep1) = sweep
 
     // pods write vs resume, reported separately (round-2 bug: a constant
     // lineage id made the bench time a resume no-op and call it a write)
@@ -104,40 +128,70 @@ object Bench {
     System.err.println(f"[bench] pods_write $podsWriteSec%.2f s, pods_resume $podsResumeSec%.2f s")
     spark.catalog.clearCache()
 
-    // headline + skew sections in fresh child JVMs (Scaling.scala pattern)
-    settle()
-    val loadJoin0 = loadavg()
-    val joinJson = runChild("join", sfDir, cpus, amplify)
-    val loadJoin1 = loadavg()
+    // ---- headline + skew sections in fresh child JVMs, storm-adaptive:
+    // a section whose EXIT loadavg breaches the gate re-runs once after
+    // a settle; the quieter-exit attempt is the headline, the stormy
+    // attempt is quarantined under stormy_* keys (r4's artifact carried
+    // a loadavg-24 shuffle-join number as the headline).
+    val stormGate = 8.0
+    def runSection(mode: String, label: String): (String, Double, Double, Option[(String, Double, Double)]) = {
+      settle()
+      val l0 = loadavg()
+      val json = runChild(mode, sfDir, cpus, amplify)
+      val l1 = loadavg()
+      if (l1 < stormGate) (json, l0, l1, None)
+      else {
+        System.err.println(f"[bench] $label exited at loadavg $l1%.2f >= $stormGate — storm retry")
+        settle()
+        val l0b = loadavg()
+        val jsonB = runChild(mode, sfDir, cpus, amplify)
+        val l1b = loadavg()
+        if (l1b <= l1) (jsonB, l0b, l1b, Some((json, l0, l1)))
+        else (json, l0, l1, Some((jsonB, l0b, l1b)))
+      }
+    }
+    def stormyKeys(json: String): String =
+      json.stripPrefix("{").stripSuffix("}")
+        .replaceAll("\"([A-Za-z0-9_]+)\":", "\"stormy_$1\":")
+
+    val (joinJson, loadJoin0, loadJoin1, joinStorm) = runSection("join", "join section")
     val joinSec = jsonNum(joinJson, "join_sec")
     val joinRows = jsonNum(joinJson, "join_rows").toLong
     System.err.println(f"[bench] join_throughput: $joinRows rows in $joinSec%.2f s = ${joinRows / joinSec}%.0f rows/s")
 
-    settle()
-    val loadShuffle0 = loadavg()
-    val shuffleJson = runChild("shufflejoin", sfDir, cpus, amplify)
-    val loadShuffle1 = loadavg()
+    val (shuffleJson, loadShuffle0, loadShuffle1, shuffleStorm) =
+      runSection("shufflejoin", "shuffle-join section")
     val shuffleSec = jsonNum(shuffleJson, "shuffle_join_sec")
     val shuffleRows = jsonNum(shuffleJson, "shuffle_join_rows").toLong
     System.err.println(f"[bench] shuffle_join_throughput: $shuffleRows rows in $shuffleSec%.2f s = ${shuffleRows / shuffleSec}%.0f rows/s")
 
-    settle()
-    val loadSkew0 = loadavg()
     // headline skew evidence = the melt demo (24M, AQE skew splitter
     // off for both runs); the sub-threshold AQE-on pair at 8M is
     // reported alongside under skew_subthreshold_* keys
-    val skewJson = runChild("skewmelt", sfDir, cpus, amplify)
-    val loadSkew1 = loadavg()
+    val (skewJson, loadSkew0, loadSkew1, skewStorm) = runSection("skewmelt", "skew melt section")
     System.err.println(s"[bench] skew (melt demo): $skewJson")
-    settle()
-    val loadSkewSub0 = loadavg()
-    val skewSubJson = runChild("skew", sfDir, cpus, amplify)
-      .replace("\"skew_", "\"skew_subthreshold_")
-    val loadSkewSub1 = loadavg()
+    val (skewSubJson0, loadSkewSub0, loadSkewSub1, skewSubStorm) =
+      runSection("skew", "skew sub-threshold section")
+    val skewSubJson = skewSubJson0.replace("\"skew_", "\"skew_subthreshold_")
     System.err.println(s"[bench] skew (sub-threshold, AQE on): $skewSubJson")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
+    val stormParts = Seq(
+      stormySweep.map { case (rs, s0, s1) =>
+        val sq = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s""""stormy_queries":$sq,"stormy_loadavg_sweep":[$s0,$s1]"""
+      },
+      joinStorm.map { case (j, s0, s1) =>
+        s"${stormyKeys(j)},\"stormy_loadavg_join\":[$s0,$s1]" },
+      shuffleStorm.map { case (j, s0, s1) =>
+        s"${stormyKeys(j)},\"stormy_loadavg_shuffle_join\":[$s0,$s1]" },
+      skewStorm.map { case (j, s0, s1) =>
+        s"${stormyKeys(j)},\"stormy_loadavg_skew\":[$s0,$s1]" },
+      skewSubStorm.map { case (j, s0, s1) =>
+        s"${stormyKeys(j.replace("\"skew_", "\"skew_subthreshold_"))},\"stormy_loadavg_skew_subthreshold\":[$s0,$s1]" }
+    ).flatten
+    val stormSuffix = if (stormParts.isEmpty) "" else stormParts.mkString(",", ",", "")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""join_rows":$joinRows,"join_sec":$joinSec,"join_rows_per_sec":${(joinRows / joinSec).toLong},""" +
       s""""shuffle_join_rows":$shuffleRows,"shuffle_join_sec":$shuffleSec,"shuffle_join_rows_per_sec":${(shuffleRows / shuffleSec).toLong},""" +
@@ -145,7 +199,7 @@ object Bench {
       skewSubJson.stripPrefix("{").stripSuffix("}") + "," +
       s""""pods_write_sec":$podsWriteSec,"pods_resume_sec":$podsResumeSec,""" +
       s""""loadavg_sweep":[$loadSweep0,$loadSweep1],"loadavg_join":[$loadJoin0,$loadJoin1],"loadavg_shuffle_join":[$loadShuffle0,$loadShuffle1],"loadavg_skew":[$loadSkew0,$loadSkew1],"loadavg_skew_subthreshold":[$loadSkewSub0,$loadSkewSub1],""" +
-      s""""cpus":$cpus}""")
+      s""""cpus":$cpus$stormSuffix}""")
     spark.stop()
   }
 
