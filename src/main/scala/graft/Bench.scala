@@ -82,10 +82,17 @@ object Bench {
     val spark = buildSession(cpus)
 
     // session warm-up (JIT + codegen + FS metadata) so the first timed
-    // query measures the operator, not SparkSession bring-up
+    // query measures the operator, not SparkSession bring-up. The three
+    // canary queries run once untimed: their timed numbers must reflect
+    // steady state so a canary inflation means HOST STORM, not
+    // first-query JIT (cold q01-q03 measured ~3x their warm numbers).
     try {
       spark.read.parquet(s"$sfDir/documents.parquet").groupBy(col("lang")).count().collect()
       spark.range(1000000).select(sum(col("id"))).collect()
+      Seq("q01_lineitem_agg", "q02_order_join", "q03_window_topk").foreach { n =>
+        SparkEntry.queries(n)(spark, sfDir).count()
+      }
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
     // ---- storm-adaptive sweep (r4 verdict item 3): q01-q03 are plain
@@ -108,7 +115,7 @@ object Bench {
     def canary(rs: Seq[(String, Double)]): Double =
       rs.filter(r => r._1.startsWith("q01") || r._1.startsWith("q02") || r._1.startsWith("q03"))
         .map(_._2).filter(_ > 0).sum
-    val canaryQuietSec = sys.env.get("SPARK_GRAFT_CANARY_QUIET").map(_.toDouble).getOrElse(1.5)
+    val canaryQuietSec = sys.env.get("SPARK_GRAFT_CANARY_QUIET").map(_.toDouble).getOrElse(3.0)
     val sweepA = runSweep()
     val (sweep, stormySweep) =
       if (canary(sweepA._1) <= 2 * canaryQuietSec) (sweepA, None)
@@ -128,25 +135,39 @@ object Bench {
     System.err.println(f"[bench] pods_write $podsWriteSec%.2f s, pods_resume $podsResumeSec%.2f s")
     spark.catalog.clearCache()
 
-    // ---- headline + skew sections in fresh child JVMs, storm-adaptive:
-    // a section whose EXIT loadavg breaches the gate re-runs once after
-    // a settle; the quieter-exit attempt is the headline, the stormy
-    // attempt is quarantined under stormy_* keys (r4's artifact carried
-    // a loadavg-24 shuffle-join number as the headline).
-    val stormGate = 8.0
+    // ---- headline + skew sections in fresh child JVMs, storm-adaptive
+    // (r4's artifact carried a loadavg-24 shuffle-join number as the
+    // headline). A heavy section's OWN tasks drive the exit loadavg past
+    // any gate — that is the measurement, not contamination — so storm
+    // evidence is (a) a stormy ENTRY (settle timed out before the child
+    // even started) or (b) load still high after the child has died and
+    // its 1-minute loadavg contribution has had time to decay (~90 s
+    // from 24 to <6; an external storm persists, self-load cannot).
+    // On retry the attempt with the SMALLER primary metric wins — storms
+    // only inflate — and the loser is quarantined under stormy_* keys.
+    val entryStormGate = 4.0
+    def primaryOf(mode: String, json: String): Double = mode match {
+      case "join"        => jsonNum(json, "join_sec")
+      case "shufflejoin" => jsonNum(json, "shuffle_join_sec")
+      case _             => jsonNum(json, "skew_nosplit_sec") + jsonNum(json, "skew_split_sec")
+    }
     def runSection(mode: String, label: String): (String, Double, Double, Option[(String, Double, Double)]) = {
       settle()
       val l0 = loadavg()
       val json = runChild(mode, sfDir, cpus, amplify)
       val l1 = loadavg()
-      if (l1 < stormGate) (json, l0, l1, None)
+      val lPost = settle(maxWaitSec = 150, target = 6.0) // decays self-load; doubles as the next section's quiet entry
+      val stormy = l0 >= entryStormGate || lPost >= 8.0
+      if (!stormy) (json, l0, l1, None)
       else {
-        System.err.println(f"[bench] $label exited at loadavg $l1%.2f >= $stormGate — storm retry")
+        System.err.println(f"[bench] $label storm evidence (entry $l0%.2f, post-settle " +
+          f"$lPost%.2f) — retrying the section once")
         settle()
         val l0b = loadavg()
         val jsonB = runChild(mode, sfDir, cpus, amplify)
         val l1b = loadavg()
-        if (l1b <= l1) (jsonB, l0b, l1b, Some((json, l0, l1)))
+        settle(maxWaitSec = 150, target = 6.0)
+        if (primaryOf(mode, jsonB) <= primaryOf(mode, json)) (jsonB, l0b, l1b, Some((json, l0, l1)))
         else (json, l0, l1, Some((jsonB, l0b, l1b)))
       }
     }
@@ -209,13 +230,14 @@ object Bench {
     * starting at the shuffle section's peak). Waits until the host
     * settles below `target` or `maxWaitSec` elapses — sections should
     * measure plans, not each other's wakes. */
-  private def settle(maxWaitSec: Int = 90, target: Double = 6.0): Unit = {
+  private def settle(maxWaitSec: Int = 90, target: Double = 6.0): Double = {
     val t0 = System.nanoTime()
     var la = loadavg()
     while (la > target && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
       Thread.sleep(5000)
       la = loadavg()
     }
+    la // the loadavg the wait ended at — storm evidence when still high
   }
 
   private def jsonNum(json: String, key: String): Double =
