@@ -353,6 +353,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("pages"), max(stareLevel(col("sid"))).as("max_level"))
         .orderBy(col("lang"))
     }),
+    "q48_stream_reconcile" -> ((s, dir) => {
+      // streamed-store reconciliation through the hard signal: a
+      // pod-partitioned store written WITHOUT manifests (the streaming
+      // sink's on-disk layout — partitionBy(pod), no catalog commit) is
+      // folded into the batch catalog by Pods.reconcile (pod level
+      // inferred from the location-only pod ids' bit alignment, ts
+      // bounds re-derived from one columnar scan), then read back with
+      // manifest-driven spatial+temporal pruning and refined exactly.
+      // The oracle recomputes membership from the raw table, so an
+      // inference or pruning false-negative is a missing row.
+      val out = s"/tmp/graft_podrec_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val docs = indexed(s, dir).select(col("doc_id"), col("sid"), col("lat"), col("lon"),
+          col("warc_ts"), col("lang"))
+        .withColumn("pod", starePod(col("sid"), 2))
+      // mode=overwrite wipes any earlier snapshot/manifests with the
+      // data, so reconcile derives its catalog from exactly this write
+      docs.write.mode("overwrite").partitionBy("pod").parquet(out)
+      Pods.reconcile(s, out, s"rec-$runNonce-$dir", tsCol = Some("warc_ts"))
+      val r = region("asia_se")
+      val t0 = 1700005000L; val t1 = 1700028000L
+      Pods.read(s, out, regionCover(r), timeRangeMs = Some((t0 * 1000, t1 * 1000)))
+        .filter(inRegion(r) && unix_timestamp(col("warc_ts")).between(t0, t1))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q33_cover_algebra" -> ((s, dir) => {
       // stare_intersection as a join prune: per region pair, docs in
       // BOTH boxes are found via the pair's cover∩cover (superset of the
@@ -1041,6 +1065,11 @@ object SparkEntry {
       "q32_streaming_index" ->
         """SELECT lang, count(*) AS pages, 26::BIGINT AS max_level
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q48_stream_reconcile" ->
+        s"""SELECT doc_id FROM $ptsSql
+           |WHERE ${regionPredSql(region("asia_se"))}
+           |  AND (1700000000 + doc_id * 61 % 31536000) BETWEEN 1700005000 AND 1700028000
+           |ORDER BY doc_id""".stripMargin,
       "q33_cover_algebra" -> {
         val pairVals = regionPairs.map { case (a, b) =>
           s"('${a.name}|${b.name}', ${a.lonMin}, ${a.lonMax}, ${a.latMin}, ${a.latMax}, ${a.wraps}, " +
