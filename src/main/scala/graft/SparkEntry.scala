@@ -368,8 +368,12 @@ object SparkEntry {
           col("warc_ts"), col("lang"))
         .withColumn("pod", starePod(col("sid"), 2))
       // mode=overwrite wipes any earlier snapshot/manifests with the
-      // data, so reconcile derives its catalog from exactly this write
-      docs.write.mode("overwrite").partitionBy("pod").parquet(out)
+      // data, so reconcile derives its catalog from exactly this write.
+      // repartition by pod mirrors the sink's real file shape (one file
+      // per pod per micro-batch) — without it every task writes a sliver
+      // into every pod directory (tasks x pods small files)
+      docs.repartition(col("pod")).sortWithinPartitions(col("sid"))
+        .write.mode("overwrite").partitionBy("pod").parquet(out)
       Pods.reconcile(s, out, s"rec-$runNonce-$dir", tsCol = Some("warc_ts"))
       val r = region("asia_se")
       val t0 = 1700005000L; val t1 = 1700028000L
