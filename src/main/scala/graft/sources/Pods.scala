@@ -126,8 +126,20 @@ object Pods {
         tsMin, tsMax, lineageId)
     }.sortBy(m => (m.pod, m.tchunk))
 
+    writeCommit(path, mans, podLevel, hasTchunk, chunkMs, lineageId,
+      walkDataFiles(path).toSet)
+  }
+
+  /** Atomically commit manifests + accounted file list + snapshot —
+    * shared by full commits (write/reconcile) and incremental merges.
+    * Write order matters for crash safety: files.json and manifests
+    * land before the snapshot, and isCommitted demands all of them. */
+  private def writeCommit(path: String, mans: Seq[ChunkManifest], podLevel: Int,
+                          hasTchunk: Boolean, chunkMs: Long, lineageId: String,
+                          files: Set[String]): Unit = {
     val manifestDir = Paths.get(path, "_manifests")
     Files.createDirectories(manifestDir)
+    atomicWrite(filesFile(path).toString, files.toSeq.sorted.mkString("\n"))
     val entries = mans.map { m =>
       s"""{"pod":${m.pod},"podHex":"${Sid.hex(m.pod)}","tchunk":${m.tchunk},""" +
         s""""sidMin":${m.sidMin},"sidMax":${m.sidMax},"rowCount":${m.rowCount},""" +
@@ -182,14 +194,122 @@ object Pods {
       try s.iterator().asScala.exists(_.getFileName.toString.startsWith("tchunk="))
       finally s.close()
     }
-    val level = podLevel.getOrElse {
-      val podVals = podDirs.map(_.getFileName.toString.stripPrefix("pod=").toLong)
-      podVals.map { p =>
-        (0 to Sid.MaxLevel).find(a => (p & (Sid.increment(a) - 1L)) == 0L)
-          .getOrElse(Sid.MaxLevel)
-      }.max
-    }
+    val level = podLevel.getOrElse(inferPodLevel(
+      podDirs.map(_.getFileName.toString.stripPrefix("pod=").toLong)))
     commitStore(spark, path, sidCol, hasTchunk, tsCol, level, chunkMs, lineageId)
+  }
+
+  /** Deepest bit alignment any pod value needs — see reconcile() doc on
+    * why shallower-than-writer inference is pruning-safe. */
+  private def inferPodLevel(podVals: Iterable[Long]): Int =
+    podVals.map { p =>
+      (0 to Sid.MaxLevel).find(a => (p & (Sid.increment(a) - 1L)) == 0L)
+        .getOrElse(Sid.MaxLevel)
+    }.max
+
+  /** Incremental reconcile: fold ONLY files appended since the last
+    * commit into the manifests, instead of reconcile()'s full-store
+    * scan — the difference between O(new batch) and O(store) per call,
+    * which is what makes per-micro-batch reconciliation viable on a
+    * store that has grown to 100 TB (Iceberg's append snapshots make
+    * the same trade; ICEBERG.md).
+    *
+    * New files are the on-disk data files minus the accounted set the
+    * last commit recorded in `_manifests/files.json` (the analog of an
+    * Iceberg manifest list; at deployment scale it would be columnar,
+    * and the streaming sink's own `_spark_metadata` commit log could
+    * serve the candidate list without any directory walk — the walk
+    * here is metadata-only either way). Their per-(pod[, tchunk])
+    * aggregates MERGE associatively into the existing manifests:
+    * min/max for sid bounds, sum for row counts, and ts bounds only
+    * when BOTH sides carry them (a chunk with any ts-unknown rows must
+    * not claim temporal bounds, or pruning turns lossy). A store with
+    * no committed manifest falls back to a full reconcile().
+    *
+    * Returns the number of new files folded in (0 = nothing to do;
+    * the commit is left untouched). Call after each stream batch
+    * (e.g. from a StreamingQueryListener) or on a schedule. */
+  def reconcileIncremental(spark: SparkSession, path: String, lineageId: String,
+                           sidCol: String = "sid", tsCol: Option[String] = None,
+                           chunkMs: Long = 30L * 86400000L,
+                           podLevel: Option[Int] = None): Int = {
+    require(Files.exists(Paths.get(path)), s"no store at $path")
+    val existing = manifests(path)
+    val accounted = accountedFiles(path)
+    if (existing.isEmpty || accounted.isEmpty) {
+      // no committed manifest — or one from before the accounted-file
+      // list existed, where "new minus accounted" would double-count
+      // every file: rebuild the whole commit consistently instead
+      reconcile(spark, path, lineageId, sidCol, tsCol, chunkMs, podLevel)
+      return accountedFiles(path).size
+    }
+    val onDisk = walkDataFiles(path)
+    val newFiles = onDisk.filterNot(accounted)
+    if (newFiles.isEmpty) return 0
+
+    val hasTchunk = existing.exists(_.hasChunk) || newFiles.exists(_.contains("tchunk="))
+    val partCols = "pod" +: (if (hasTchunk) Seq("tchunk") else Seq.empty)
+    val absNew = newFiles.map(f => s"$path/$f")
+    val back = partCols.foldLeft(
+      spark.read.option("basePath", path).parquet(absNew: _*))((d, c) =>
+      d.withColumn(c, col(c).cast("long")))
+    val aggs = Seq(
+      min(col(sidCol)).as("sidMin"), max(col(sidCol)).as("sidMax"),
+      count(lit(1)).as("rowCount")) ++ tsCol.toSeq.flatMap(ts => Seq(
+      min((col(ts).cast("double") * 1000).cast("long")).as("tsMin"),
+      max((col(ts).cast("double") * 1000).cast("long")).as("tsMax")))
+    val fresh = back.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*).collect().map { r =>
+      val pod = r.getLong(r.fieldIndex("pod"))
+      val tchunk = if (hasTchunk) r.getLong(r.fieldIndex("tchunk")) else NoChunk
+      val (tsMin, tsMax) =
+        if (tsCol.isDefined) (r.getLong(r.fieldIndex("tsMin")), r.getLong(r.fieldIndex("tsMax")))
+        else (Long.MinValue, Long.MinValue)
+      ChunkManifest(pod, tchunk, r.getLong(r.fieldIndex("sidMin")),
+        r.getLong(r.fieldIndex("sidMax")), r.getLong(r.fieldIndex("rowCount")),
+        tsMin, tsMax, lineageId)
+    }
+
+    val merged = (existing ++ fresh).groupBy(m => (m.pod, m.tchunk)).map { case (_, ms) =>
+      val bothTs = ms.forall(_.hasTs)
+      ChunkManifest(ms.head.pod, ms.head.tchunk,
+        ms.map(_.sidMin).min, ms.map(_.sidMax).max, ms.map(_.rowCount).sum,
+        if (bothTs) ms.map(_.tsMinMs).min else Long.MinValue,
+        if (bothTs) ms.map(_.tsMaxMs).max else Long.MinValue,
+        lineageId)
+    }.toSeq.sortBy(m => (m.pod, m.tchunk))
+
+    val level = podLevel.getOrElse {
+      val inferredNew = inferPodLevel(fresh.map(_.pod))
+      val existingLevel =
+        try snapshotPodLevel(path) catch { case _: Throwable => 0 }
+      math.max(existingLevel, inferredNew)
+    }
+    writeCommit(path, merged, level, hasTchunk, chunkMs, lineageId, accounted ++ newFiles)
+    newFiles.size
+  }
+
+  private def filesFile(path: String): Path = Paths.get(path, "_manifests", "files.json")
+
+  /** Data-file paths the last commit accounted for (store-relative). */
+  private def accountedFiles(path: String): Set[String] = {
+    val f = filesFile(path)
+    if (!Files.exists(f)) Set.empty
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  /** All parquet data files under the store, as store-relative paths
+    * (stable across absolute-path renames of the store root). */
+  private def walkDataFiles(path: String): Seq[String] = {
+    val root = Paths.get(path)
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => { val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_") })
+      .map(p => root.relativize(p).toString)
+      .filter(_.startsWith("pod="))
+      .toSeq.sorted
+    finally s.close()
   }
 
   private def manifestsFile(path: String): Path = Paths.get(path, "_manifests", "manifests.json")

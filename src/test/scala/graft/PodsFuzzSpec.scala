@@ -138,14 +138,31 @@ class PodsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         .drop("ts_ms")
         .withColumn("pod", starePod(col("sid"), podLevel))
       val out = Files.createTempDirectory(s"podsfuzz_r$trial").toString
-      // the streaming sink's layout: partitioned parquet, no manifests
-      df.write.mode("overwrite").partitionBy("pod").parquet(out)
       // half the trials exercise bit-alignment level inference, half the
-      // explicit-level overload
+      // explicit-level overload; alternate trials fold the store in TWO
+      // phases (write + reconcile, append + reconcileIncremental) so the
+      // associative manifest merge is fuzzed too
       val explicit = r.nextBoolean()
-      Pods.reconcile(spark, out, s"rec-fuzz-$trial", tsCol = Some("warc_ts"),
-        podLevel = if (explicit) Some(podLevel) else None)
-      assert(Pods.isCommitted(out, s"rec-fuzz-$trial"))
+      val lvlOpt = if (explicit) Some(podLevel) else None
+      if (trial % 2 == 0) {
+        // the streaming sink's layout: partitioned parquet, no manifests
+        df.write.mode("overwrite").partitionBy("pod").parquet(out)
+        Pods.reconcile(spark, out, s"rec-fuzz-$trial", tsCol = Some("warc_ts"),
+          podLevel = lvlOpt)
+        assert(Pods.isCommitted(out, s"rec-fuzz-$trial"))
+      } else {
+        val cut = rows.size / 2
+        val half1 = df.filter(col("doc_id") < cut)
+        val half2 = df.filter(col("doc_id") >= cut)
+        half1.write.mode("overwrite").partitionBy("pod").parquet(out)
+        Pods.reconcile(spark, out, s"rec-fuzz-$trial-a", tsCol = Some("warc_ts"),
+          podLevel = lvlOpt)
+        half2.write.mode("append").partitionBy("pod").parquet(out)
+        val n = Pods.reconcileIncremental(spark, out, s"rec-fuzz-$trial-b",
+          tsCol = Some("warc_ts"), podLevel = lvlOpt)
+        assert(n > 0, s"trial=$trial incremental found no new files")
+        assert(Pods.isCommitted(out, s"rec-fuzz-$trial-b"))
+      }
       // catalog invariant: manifests describe exactly what is on disk
       val catRows = Pods.catalog(spark, out)
         .agg(sum(col("rowCount"))).collect()(0).getLong(0)

@@ -118,6 +118,93 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 61)
   }
 
+  test("reconcileIncremental folds only appended stream batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val t0 = java.sql.Timestamp.valueOf("2025-02-01 00:00:00")
+    mem.addData((1 to 40).map(i =>
+      Page(s"https://inc/$i", new java.sql.Timestamp(t0.getTime + i * 60000L),
+        s"incremental page $i words", "en")))
+    val out = java.nio.file.Files.createTempDirectory("inc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("inc_ckpt").toString
+    StreamingIndex.start(mem.toDF(), out, ckpt).awaitTermination(60000)
+
+    // first call on a manifest-less store = full reconcile fallback
+    val n1 = Pods.reconcileIncremental(spark, out, "inc-1", tsCol = Some("warc_ts"))
+    assert(n1 > 0)
+    assert(Pods.isCommitted(out, "inc-1"))
+    assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 40)
+    // nothing appended: a no-op that leaves the commit untouched
+    assert(Pods.reconcileIncremental(spark, out, "inc-noop", tsCol = Some("warc_ts")) === 0)
+    assert(Pods.isCommitted(out, "inc-1"))
+
+    // append a stream batch, fold it in incrementally
+    mem.addData((41 to 45).map(i =>
+      Page(s"https://inc/$i", new java.sql.Timestamp(t0.getTime + i * 60000L),
+        s"incremental page $i words", "en")))
+    StreamingIndex.start(mem.toDF(), out, ckpt).awaitTermination(60000)
+    val n2 = Pods.reconcileIncremental(spark, out, "inc-2", tsCol = Some("warc_ts"))
+    assert(n2 > 0 && Pods.isCommitted(out, "inc-2"))
+    val cat = Pods.catalog(spark, out)
+    assert(cat.agg(sum(col("rowCount"))).collect()(0).getLong(0) === 45)
+
+    // merged manifests drive pruned reads exactly like a full reconcile:
+    // per pod, the manifest-pruned read returns exactly that pod's rows
+    val full = spark.read.parquet(out)
+    val pods = full.select("pod").distinct().collect().map(_.getLong(0))
+    val lvl = Pods.snapshotPodLevel(out)
+    for (p <- pods.take(3)) {
+      val got = Pods.read(spark, out, Array(p | lvl.toLong))
+      assert(got.count() === full.filter(col("pod") === p).count(), s"pod $p")
+    }
+    // temporal bounds merged conservatively: a window past every event
+    // prunes all; a covering window loses nothing
+    val some = pods.head
+    assert(Pods.read(spark, out, Array(some | lvl.toLong),
+      timeRangeMs = Some((t0.getTime - 2000000L, t0.getTime - 1000000L))).count() === 0)
+    assert(Pods.read(spark, out, Array(some | lvl.toLong),
+      timeRangeMs = Some((t0.getTime - 86400000L, t0.getTime + 86400000L))).count() ===
+      full.filter(col("pod") === some).count())
+  }
+
+  test("reconcileIncremental never rescans committed files (poisoned-file proof)") {
+    val s = spark
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-03-01 00:00:00")
+    def pages(ids: Range) = ids.map(i =>
+      (s"https://poison/$i", new java.sql.Timestamp(t0.getTime + i * 60000L),
+        s"poison proof page $i", "en")).toDF("url", "warc_ts", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("poison_out").toString
+    val indexed = StreamingIndex.indexStream(pages(1 to 30))
+    indexed.write.mode("overwrite").partitionBy("pod").parquet(out)
+    Pods.reconcile(spark, out, "poison-1", tsCol = Some("warc_ts"))
+    val before = Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0)
+    assert(before === 30)
+
+    // overwrite every committed parquet file with garbage: any attempt
+    // to rescan them would now fail the incremental job
+    val root = java.nio.file.Paths.get(out)
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_"))
+        .foreach(p => java.nio.file.Files.write(p, "not parquet".getBytes))
+    } finally walk.close()
+
+    // append fresh rows as new files, then fold them in: the incremental
+    // scan must touch ONLY the appended files, so it succeeds even
+    // though every previously-committed file is now unreadable
+    StreamingIndex.indexStream(pages(31 to 36))
+      .write.mode("append").partitionBy("pod").parquet(out)
+    val n = Pods.reconcileIncremental(spark, out, "poison-2", tsCol = Some("warc_ts"))
+    assert(n > 0 && Pods.isCommitted(out, "poison-2"))
+    assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 36)
+  }
+
   test("windowed pod counts with watermark drop late rows past the threshold") {
     val s = spark
     import s.implicits._
