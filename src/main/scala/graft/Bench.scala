@@ -246,9 +246,25 @@ object Bench {
       .getOrElse(sys.error(s"key $key missing in child output: $json"))
 
   /** launch this class in a fresh JVM for one section; returns its JSON line. */
+  /** Classpath for a spawned child JVM. Under sbt this is just
+    * java.class.path; under spark-submit the application jar is NOT on
+    * java.class.path (spark-submit loads it in a child classloader), so
+    * append the jar this class was loaded from or the child dies with
+    * ClassNotFoundException: graft.Bench. */
+  private[graft] def childClasspath(anchor: Class[_]): String = {
+    val base = System.getProperty("java.class.path")
+    val self = Option(anchor.getProtectionDomain.getCodeSource)
+      .map(_.getLocation.getPath).filter(_.nonEmpty)
+    self match {
+      case Some(p) if !base.split(java.io.File.pathSeparator).contains(p) =>
+        base + java.io.File.pathSeparator + p
+      case _ => base
+    }
+  }
+
   private def runChild(mode: String, sfDir: String, cpus: String, amplify: Int): String = {
     val java = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
+    val cp = childClasspath(getClass)
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
       "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",

@@ -49,7 +49,7 @@ object Scaling {
 
     def runChild(cores: Int): (Double, Long) = {
       val java = System.getProperty("java.home") + "/bin/java"
-      val cp = System.getProperty("java.class.path")
+      val cp = Bench.childClasspath(getClass) // spark-submit-safe (see Bench)
       val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
         "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
