@@ -9,8 +9,10 @@ import graft.functions.StareFunctions
   * function registry (SURVEY.md §4.3.2): a `spark-submit --conf
   * spark.sql.extensions=graft.StareExtensions` user gets every function
   * — native codegen kernels (stare_sid / stare_clear /
-  * stare_intersects_cover) and the UDF-backed geometry/cover/TIV
-  * surface — in plain `spark.sql` text with no Scala imports and no
+  * stare_intersects_cover), the UDF-backed geometry/cover/TIV
+  * surface, and the text/embedding pipeline kernels (text_simhash,
+  * text_minhash, emb_cosine, …) — in plain `spark.sql` text with no
+  * Scala imports and no
   * session-scoped register() call. The builder list itself lives in
   * StareFunctions.sqlFunctionBuilders so this path and the live-session
   * register() path can never drift apart. Mirrors the reference's

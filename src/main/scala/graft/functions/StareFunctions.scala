@@ -271,7 +271,28 @@ object StareFunctions {
         StareIntersectsCoverExpression(
           shim.eagerExpression(shim.column(exprs(0)).cast("long")),
           Sid.flattenRuns(Sid.mergedIntervals(arr)))
-      }))
+      }),
+      // text-pipeline surface: the LLM-data ops (dedup signatures,
+      // similarity, language ID, quality primitives) through plain SQL —
+      // the exact kernels graft.pipeline.{TextOps,AnnOps} use, so SQL
+      // results match the typed API bit-for-bit
+      ("text_simhash", 1, c(cs => graft.pipeline.TextOps.simhash(cs(0)))),
+      ("text_fingerprint", 1, c(cs => graft.pipeline.TextOps.fingerprint(cs(0)))),
+      ("text_token_count", 1, c(cs => graft.pipeline.TextOps.tokenCount(cs(0)))),
+      ("text_lang_id", 1, c(cs => graft.pipeline.TextOps.langId(cs(0)))),
+      ("text_shingle_jaccard", 3, c(cs =>
+        graft.pipeline.TextOps.shingleJaccard(cs(0), cs(1), int(cs(2))))),
+      ("text_ngram_jaccard", 2, c(cs => graft.pipeline.TextOps.ngramJaccard(cs(0), cs(1)))),
+      ("text_minhash", 3, c(cs =>
+        graft.pipeline.TextOps.minhashSignature(cs(0), int(cs(1)), int(cs(2))))),
+      ("text_shingle_hashes", 2, c(cs =>
+        graft.pipeline.TextOps.shingleHashes(cs(0), int(cs(1))))),
+      ("text_hashed_jaccard", 2, c(cs =>
+        graft.pipeline.TextOps.hashedJaccard(cs(0), cs(1)))),
+      ("emb_cosine", 2, c(cs => graft.pipeline.AnnOps.cosine(
+        cs(0).cast("array<float>"), cs(1).cast("array<float>")))),
+      ("emb_lsh_sig", 3, c(cs => graft.pipeline.AnnOps.lshSignature(
+        cs(0).cast("array<float>"), int(cs(1)), int(cs(2))))))
   }
 
   /** Register the full SQL surface on a LIVE session (spark.sql usable

@@ -97,6 +97,10 @@ object AnnOps {
   def lshSignature(vec: Column, planes: Int, offset: Int = 0): Column =
     sigUdf(vec, lit(planes), lit(offset))
 
+  /** Column-arity overload backing the SQL registry. */
+  def lshSignature(vec: Column, planes: Column, offset: Column): Column =
+    sigUdf(vec, planes, offset)
+
   /** all `bands` band signatures in ONE UDF pass: converts the vector
     * once and projects against every plane — replaces a per-band array
     * of sigUdf calls whose wide projection re-converted the vector

@@ -66,6 +66,11 @@ object TextOps {
     out
   }
 
+  /** exact word-k-shingle Jaccard of two texts (Column-arity overload
+    * backing the SQL registry — same kernel as the Int-arg path). */
+  def shingleJaccard(a: Column, b: Column, k: Column): Column =
+    shingleJaccardUdf(a, b, k)
+
   private val shingleJaccardUdf = udf((a: String, b: String, k: Int) => {
     val sa = shingleSet(a, k); val sb = shingleSet(b, k)
     if (sa.isEmpty && sb.isEmpty) 0.0
@@ -88,6 +93,10 @@ object TextOps {
     * against the DuckDB string-shingle oracle at any tested scale. */
   def shingleHashes(text: Column, k: Int = 3): Column =
     shingleHashesUdf(text, lit(k))
+
+  /** Column-arity overload backing the SQL registry. */
+  def shingleHashes(text: Column, k: Column): Column =
+    shingleHashesUdf(text, k)
 
   private val shingleHashesUdf = udf((text: String, k: Int) => {
     val words = if (text == null) Array.empty[String]
@@ -143,6 +152,10 @@ object TextOps {
     * permutation) was O(words^2 x perms) per row and unusable at sf0.1. */
   def minhashSignature(text: Column, k: Int = 3, perms: Int = 16): Column =
     minhashUdf(text, lit(k), lit(perms))
+
+  /** Column-arity overload backing the SQL registry. */
+  def minhashSignature(text: Column, k: Column, perms: Column): Column =
+    minhashUdf(text, k, perms)
 
   private val minhashUdf = udf((text: String, k: Int, perms: Int) => {
     val words = if (text == null) Array.empty[String] else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
@@ -482,8 +495,11 @@ object TextOps {
     }
   })
 
+  /** predicted language code as a Column (SQL-registry entry point). */
+  def langId(text: Column): Column = langIdUdf(text)
+
   def withLangId(df: DataFrame, textCol: Column, outCol: String): DataFrame =
-    df.withColumn(outCol, langIdUdf(textCol))
+    df.withColumn(outCol, langId(textCol))
 
   // ----------------------------------------------------------- quality & tokens
 

@@ -115,4 +115,57 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(sqlCount > 0)
     } finally spark.stop()
   }
+
+  test("text/embedding pipeline surface in pure SQL via --conf extension") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-text-surface")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.StareExtensions")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      val sfDir = "/root/testdata/sf0.001"
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW documents AS SELECT * FROM parquet.`$sfDir/documents.parquet`")
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW embeddings AS SELECT * FROM parquet.`$sfDir/embeddings.parquet`")
+
+      // scalar text functions: SQL output must equal the typed-API kernels
+      val sqlText = spark.sql(
+        """SELECT doc_id, text_simhash(text) AS sh, text_fingerprint(text) AS fp,
+          |  text_token_count(text) AS tc, text_lang_id(text) AS lang,
+          |  text_ngram_jaccard(text, reverse(text)) AS nj
+          |FROM documents""".stripMargin)
+      val typedText = spark.table("documents").select(
+        col("doc_id"),
+        graft.pipeline.TextOps.simhash(col("text")).as("sh"),
+        graft.pipeline.TextOps.fingerprint(col("text")).as("fp"),
+        graft.pipeline.TextOps.tokenCount(col("text")).as("tc"),
+        graft.pipeline.TextOps.langId(col("text")).as("lang"),
+        graft.pipeline.TextOps.ngramJaccard(col("text"), reverse(col("text"))).as("nj"))
+      assert(sqlText.exceptAll(typedText).isEmpty && typedText.exceptAll(sqlText).isEmpty)
+
+      // shingle/minhash family: self-similarity is exact, signatures match
+      val sj = spark.sql(
+        """SELECT min(text_shingle_jaccard(text, text, 3)) AS mn,
+          |  min(text_hashed_jaccard(text_shingle_hashes(text, 3), text_shingle_hashes(text, 3))) AS mh,
+          |  min(CASE WHEN size(text_minhash(text, 3, 16)) = 16 THEN 1 ELSE 0 END) AS ok
+          |FROM documents WHERE text_token_count(text) >= 3""".stripMargin).collect()(0)
+      assert(sj.getDouble(0) === 1.0)
+      assert(sj.getDouble(1) === 1.0)
+      assert(sj.getInt(2) === 1)
+
+      // embedding functions: cosine self-similarity ~1, LSH sig matches typed
+      val emb = spark.sql(
+        """SELECT min(emb_cosine(embedding, embedding)) AS selfcos,
+          |  min(CASE WHEN emb_lsh_sig(embedding, 16, 0) IS NOT NULL THEN 1 ELSE 0 END) AS sig
+          |FROM embeddings""".stripMargin).collect()(0)
+      assert(math.abs(emb.getDouble(0) - 1.0) < 1e-6)
+      assert(emb.getInt(1) === 1)
+      val sqlSig = spark.sql("SELECT vec_id, emb_lsh_sig(embedding, 16, 3) AS s FROM embeddings")
+      val typedSig = spark.table("embeddings")
+        .select(col("vec_id"), graft.pipeline.AnnOps.lshSignature(col("embedding"), 16, 3).as("s"))
+      assert(sqlSig.exceptAll(typedSig).isEmpty && typedSig.exceptAll(sqlSig).isEmpty)
+    } finally spark.stop()
+  }
 }
