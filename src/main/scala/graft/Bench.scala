@@ -102,6 +102,7 @@ object Bench {
     // (by canary total) is the headline; the stormy one is kept under
     // stormy_* keys so nothing is hidden.
     def runSweep(): (Seq[(String, Double)], Double, Double) = {
+      SparkEntry.clearDupPairsMemo() // a retry sweep must re-measure, not replay
       val l0 = loadavg()
       val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val sec = try time(fn(spark, sfDir).count())
@@ -112,9 +113,14 @@ object Bench {
       }
       (rs, l0, loadavg())
     }
-    def canary(rs: Seq[(String, Double)]): Double =
-      rs.filter(r => r._1.startsWith("q01") || r._1.startsWith("q02") || r._1.startsWith("q03"))
-        .map(_._2).filter(_ > 0).sum
+    // a failed canary (-1) is the WORST signal, not a missing one: a
+    // sweep whose canaries crashed must neither read as "quiet" nor win
+    // the retry comparison over a sweep that completed
+    def canary(rs: Seq[(String, Double)]): Double = {
+      val cs = rs.filter(r =>
+        r._1.startsWith("q01") || r._1.startsWith("q02") || r._1.startsWith("q03")).map(_._2)
+      if (cs.exists(_ < 0)) Double.MaxValue else cs.sum
+    }
     val canaryQuietSec = sys.env.get("SPARK_GRAFT_CANARY_QUIET").map(_.toDouble).getOrElse(3.0)
     val sweepA = runSweep()
     val (sweep, stormySweep) =
@@ -145,7 +151,11 @@ object Bench {
     // from 24 to <6; an external storm persists, self-load cannot).
     // On retry the attempt with the SMALLER primary metric wins — storms
     // only inflate — and the loser is quarantined under stormy_* keys.
-    val entryStormGate = 4.0
+    // MUST equal settle()'s target: runSection settles to `target`
+    // before reading the entry loadavg, so a gate below the target
+    // would flag a host idling in [gate, target) as stormy on every
+    // section and double-run the whole bench
+    val entryStormGate = 6.0
     def primaryOf(mode: String, json: String): Double = mode match {
       case "join"        => jsonNum(json, "join_sec")
       case "shufflejoin" => jsonNum(json, "shuffle_join_sec")
@@ -253,8 +263,14 @@ object Bench {
     * ClassNotFoundException: graft.Bench. */
   private[graft] def childClasspath(anchor: Class[_]): String = {
     val base = System.getProperty("java.class.path")
+    // File(uri) decodes percent-escapes; URL.getPath would leave a jar
+    // under a directory with spaces as /opt/my%20app/graft.jar — a
+    // classpath entry that exists for no file
     val self = Option(anchor.getProtectionDomain.getCodeSource)
-      .map(_.getLocation.getPath).filter(_.nonEmpty)
+      .map(_.getLocation)
+      .flatMap(loc => scala.util.Try(new java.io.File(loc.toURI).getPath).toOption
+        .orElse(Option(loc.getPath)))
+      .filter(_.nonEmpty)
     self match {
       case Some(p) if !base.split(java.io.File.pathSeparator).contains(p) =>
         base + java.io.File.pathSeparator + p

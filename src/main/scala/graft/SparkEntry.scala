@@ -611,6 +611,18 @@ object SparkEntry {
   private val dupPairsDfCache =
     new scala.collection.concurrent.TrieMap[String, (SparkSession, DataFrame)]
 
+  /** Release the q15/q45 shared-pair memo. Measurement harnesses that
+    * re-time the queries (QTest reps, Bench sweep retries) call this
+    * first, or the repeat would time a driver-local replay instead of
+    * the pipeline; within one sweep the q15 -> q45 sharing stands. */
+  private[graft] def clearDupPairsMemo(): Unit = {
+    dupPairsLocalCache.clear()
+    dupPairsDfCache.values.foreach { case (sess, df) =>
+      if (!sess.sparkContext.isStopped) scala.util.Try(df.unpersist(false))
+    }
+    dupPairsDfCache.clear()
+  }
+
   private def exactDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     dupPairsLocalCache.get(dir) match {
@@ -740,8 +752,18 @@ object SparkEntry {
   // clear-on-overflow (recompute is pure + cheap relative to retention)
   private val trixelGeomOkMaxEntries = 1 << 20
   private val trixelGeomOk = udf((cell: Long) => {
-    if (trixelGeomOkCache.size > trixelGeomOkMaxEntries) trixelGeomOkCache.clear()
-    trixelGeomOkCache.computeIfAbsent(cell, c => Boolean.box(trixelGeomOkCompute(c))).booleanValue()
+    // bound check only on MISS: the hit path — every row after warmup —
+    // pays one lock-free get, no size() traversal. Plain get/put (not
+    // computeIfAbsent) because clear() may not run inside a mapping
+    // function; a racy duplicate compute is fine, the function is pure.
+    val cached = trixelGeomOkCache.get(cell)
+    if (cached != null) cached.booleanValue()
+    else {
+      if (trixelGeomOkCache.size > trixelGeomOkMaxEntries) trixelGeomOkCache.clear()
+      val v = trixelGeomOkCompute(cell)
+      trixelGeomOkCache.put(cell, Boolean.box(v))
+      v
+    }
   })
   private def trixelGeomOkCompute(cell: Long): Boolean = {
     import graft.core.{Htm, Sid}

@@ -350,7 +350,19 @@ object StareJoin {
       else {
         val orderable = df.schema.fields.filter(f => shim.isOrderable(f.dataType))
           .map(f => col(f.name))
-        if (orderable.isEmpty) df else df.sortWithinPartitions(orderable.toIndexedSeq: _*)
+        if (orderable.nonEmpty) df.sortWithinPartitions(orderable.toIndexedSeq: _*)
+        else {
+          // nothing to sort by (every column non-orderable, e.g. all
+          // maps): fall back to persisting the frame, so both subtrees
+          // of the consuming join read ONE materialization — block-level
+          // locking means each partition is computed once and the id is
+          // assigned on that single computation. The pin is deliberate
+          // and logged; silently proceeding risked mismatched ids.
+          System.err.println(
+            s"[stare_join] withStableId($name): exchange-bearing lineage with no orderable " +
+              "columns — persisting the id frame to pin row order (cache not auto-released)")
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
       }
     shim.withPackedIdColumn(stabilized, name)
   }

@@ -61,11 +61,18 @@ object AnnOps {
     private val MaxEntries = 64
     private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
     def components(offset: Int, planes: Int, dim: Int): Array[Double] = {
-      if (cache.size > MaxEntries) cache.clear()
-      cache.computeIfAbsent((offset, planes, dim), { key =>
-        val (off, p, d) = key
-        Array.tabulate(p * d)(j => planeComponent(off + j / d, j % d))
-      })
+      // bound check on MISS only (the call sits on the per-row signature
+      // hot loop); plain get/put — clear() may not run inside a
+      // computeIfAbsent mapping fn, and a racy duplicate compute is fine
+      val key = (offset, planes, dim)
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        if (cache.size > MaxEntries) cache.clear()
+        val v = Array.tabulate(planes * dim)(j => planeComponent(offset + j / dim, j % dim))
+        cache.put(key, v)
+        v
+      }
     }
     private[pipeline] def sizeNow: Int = cache.size
   }
@@ -362,6 +369,15 @@ object AnnOps {
                    queries: Seq[(Long, Array[Float])], k: Int,
                    centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
+    // qid/cos_sim are the OUTPUT contract and __rk/__probe_cluster the
+    // working columns: an input already carrying one would make the
+    // broadcast join ambiguous (AnalysisException deep in the plan) or
+    // silently overwrite caller data — fail fast with the fix instead
+    Seq("qid", "cos_sim", "__rk", "__probe_cluster").foreach { n =>
+      require(!emb.columns.contains(n),
+        s"input already has a '$n' column — rename it before ivfTopKBatch " +
+          "(qid and cos_sim are the batch output contract)")
+    }
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._

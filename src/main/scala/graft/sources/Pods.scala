@@ -109,13 +109,30 @@ object Pods {
     val back = partCols.foldLeft(spark.read.parquet(path))((d, c) =>
       d.withColumn(c, col(c).cast("long")))
     val groupCols = partCols.map(col)
+    val mans = scanManifests(back, groupCols, hasTchunk, sidCol, tsCol, lineageId)
+      .sortBy(m => (m.pod, m.tchunk))
+
+    // account exactly the files the scan above read: on a streaming-sink
+    // store `spark.read.parquet(path)` honors the sink's _spark_metadata
+    // commit log, so orphans from a failed micro-batch are neither
+    // aggregated nor accounted (they stay "new" until their batch commits)
+    writeCommit(path, mans, podLevel, hasTchunk, chunkMs, lineageId,
+      committedDataFiles(spark, path).toSet)
+  }
+
+  /** One groupBy-collect deriving per-(pod[, tchunk]) manifests from a
+    * (possibly file-restricted) scan — the single definition of how
+    * manifest rows are built, shared by full commits and incremental
+    * merges so the two paths cannot drift. */
+  private def scanManifests(back: DataFrame, groupCols: Seq[org.apache.spark.sql.Column],
+                            hasTchunk: Boolean, sidCol: String, tsCol: Option[String],
+                            lineageId: String): Array[ChunkManifest] = {
     val aggs = Seq(
       min(col(sidCol)).as("sidMin"), max(col(sidCol)).as("sidMax"),
       count(lit(1)).as("rowCount")) ++ tsCol.toSeq.flatMap(ts => Seq(
       min((col(ts).cast("double") * 1000).cast("long")).as("tsMin"),
       max((col(ts).cast("double") * 1000).cast("long")).as("tsMax")))
-    val rows = back.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*).collect()
-    val mans = rows.map { r =>
+    back.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*).collect().map { r =>
       val pod = r.getLong(r.fieldIndex("pod"))
       val tchunk = if (hasTchunk) r.getLong(r.fieldIndex("tchunk")) else NoChunk
       val (tsMin, tsMax) =
@@ -124,28 +141,32 @@ object Pods {
       ChunkManifest(pod, tchunk, r.getLong(r.fieldIndex("sidMin")),
         r.getLong(r.fieldIndex("sidMax")), r.getLong(r.fieldIndex("rowCount")),
         tsMin, tsMax, lineageId)
-    }.sortBy(m => (m.pod, m.tchunk))
-
-    writeCommit(path, mans, podLevel, hasTchunk, chunkMs, lineageId,
-      walkDataFiles(path).toSet)
+    }
   }
 
   /** Atomically commit manifests + accounted file list + snapshot —
     * shared by full commits (write/reconcile) and incremental merges.
-    * Write order matters for crash safety: files.json and manifests
-    * land before the snapshot, and isCommitted demands all of them. */
+    * Write order matters for crash safety: manifests.json lands FIRST,
+    * then files.json carrying a content hash of the manifests it was
+    * committed with, then the snapshot. A crash between any two leaves
+    * a pair accountedFiles() detects as mismatched (stale files.json
+    * hash), which reconcileIncremental answers with a full rebuild —
+    * never the silent "files accounted but rows missing from the
+    * manifests" state the reverse order permitted. */
   private def writeCommit(path: String, mans: Seq[ChunkManifest], podLevel: Int,
                           hasTchunk: Boolean, chunkMs: Long, lineageId: String,
                           files: Set[String]): Unit = {
     val manifestDir = Paths.get(path, "_manifests")
     Files.createDirectories(manifestDir)
-    atomicWrite(filesFile(path).toString, files.toSeq.sorted.mkString("\n"))
     val entries = mans.map { m =>
       s"""{"pod":${m.pod},"podHex":"${Sid.hex(m.pod)}","tchunk":${m.tchunk},""" +
         s""""sidMin":${m.sidMin},"sidMax":${m.sidMax},"rowCount":${m.rowCount},""" +
         s""""tsMinMs":${m.tsMinMs},"tsMaxMs":${m.tsMaxMs},"lineageId":"$lineageId"}"""
     }
-    atomicWrite(manifestsFile(path).toString, entries.mkString("[\n", ",\n", "\n]"))
+    val manifestBody = entries.mkString("[\n", ",\n", "\n]")
+    atomicWrite(manifestsFile(path).toString, manifestBody)
+    atomicWrite(filesFile(path).toString,
+      (s"$GenerationHeader${contentHash(manifestBody)}" +: files.toSeq.sorted).mkString("\n"))
     val snapshot =
       s"""{"formatVersion":$FormatVersion,"lineageId":"$lineageId","podLevel":$podLevel,""" +
         s""""hasTchunk":$hasTchunk,"chunkMs":$chunkMs,""" +
@@ -243,7 +264,11 @@ object Pods {
       reconcile(spark, path, lineageId, sidCol, tsCol, chunkMs, podLevel)
       return accountedFiles(path).size
     }
-    val onDisk = walkDataFiles(path)
+    // candidates come from the COMMITTED listing: on a streaming-sink
+    // store this consults _spark_metadata, so an in-flight or failed
+    // micro-batch's files are not merged (no duplicates after a sink
+    // retry rewrites them under new names)
+    val onDisk = committedDataFiles(spark, path)
     val newFiles = onDisk.filterNot(accounted)
     if (newFiles.isEmpty) return 0
 
@@ -253,21 +278,7 @@ object Pods {
     val back = partCols.foldLeft(
       spark.read.option("basePath", path).parquet(absNew: _*))((d, c) =>
       d.withColumn(c, col(c).cast("long")))
-    val aggs = Seq(
-      min(col(sidCol)).as("sidMin"), max(col(sidCol)).as("sidMax"),
-      count(lit(1)).as("rowCount")) ++ tsCol.toSeq.flatMap(ts => Seq(
-      min((col(ts).cast("double") * 1000).cast("long")).as("tsMin"),
-      max((col(ts).cast("double") * 1000).cast("long")).as("tsMax")))
-    val fresh = back.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*).collect().map { r =>
-      val pod = r.getLong(r.fieldIndex("pod"))
-      val tchunk = if (hasTchunk) r.getLong(r.fieldIndex("tchunk")) else NoChunk
-      val (tsMin, tsMax) =
-        if (tsCol.isDefined) (r.getLong(r.fieldIndex("tsMin")), r.getLong(r.fieldIndex("tsMax")))
-        else (Long.MinValue, Long.MinValue)
-      ChunkManifest(pod, tchunk, r.getLong(r.fieldIndex("sidMin")),
-        r.getLong(r.fieldIndex("sidMax")), r.getLong(r.fieldIndex("rowCount")),
-        tsMin, tsMax, lineageId)
-    }
+    val fresh = scanManifests(back, partCols.map(col), hasTchunk, sidCol, tsCol, lineageId)
 
     val merged = (existing ++ fresh).groupBy(m => (m.pod, m.tchunk)).map { case (_, ms) =>
       val bothTs = ms.forall(_.hasTs)
@@ -290,12 +301,51 @@ object Pods {
 
   private def filesFile(path: String): Path = Paths.get(path, "_manifests", "files.json")
 
-  /** Data-file paths the last commit accounted for (store-relative). */
+  private final val GenerationHeader = "#manifests-sha256="
+
+  private def contentHash(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+
+  /** Data-file paths the last commit accounted for (store-relative).
+    * Empty when absent OR when the generation header does not match the
+    * manifests on disk (a crash landed between the two writes): an
+    * empty answer makes reconcileIncremental rebuild the commit from a
+    * full scan, restoring consistency instead of silently skipping the
+    * half-committed batch. Headerless legacy files (written before the
+    * generation stamp) are accepted as-is — a complete legacy pair is
+    * consistent by construction. */
   private def accountedFiles(path: String): Set[String] = {
     val f = filesFile(path)
     if (!Files.exists(f)) Set.empty
-    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+    else {
+      val lines = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val stamped = lines.headOption.exists(_.startsWith(GenerationHeader))
+      if (stamped) {
+        val mf = manifestsFile(path)
+        val current =
+          if (Files.exists(mf)) contentHash(new String(Files.readAllBytes(mf), StandardCharsets.UTF_8))
+          else ""
+        if (lines.head.stripPrefix(GenerationHeader) != current) return Set.empty
+      }
+      lines.filterNot(_.startsWith("#")).toSet
+    }
+  }
+
+  /** Store-relative data files a batch reader actually sees: on a
+    * streaming-sink store the root `_spark_metadata` commit log is the
+    * source of truth (orphans from failed micro-batches are excluded);
+    * otherwise the directory walk. The log read is metadata-only. */
+  private def committedDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    if (!Files.exists(Paths.get(path, "_spark_metadata"))) walkDataFiles(path)
+    else {
+      val root = Paths.get(path).toAbsolutePath
+      spark.read.parquet(path).inputFiles.toSeq.map { f =>
+        val p = if (f.contains(":/")) Paths.get(new java.net.URI(f)) else Paths.get(f)
+        root.relativize(p.toAbsolutePath).toString
+      }.filter(_.startsWith("pod=")).sorted
+    }
   }
 
   /** All parquet data files under the store, as store-relative paths
@@ -387,10 +437,21 @@ object Pods {
       })
     }
     if (selected.isEmpty) return readAll(spark, path).filter(lit(false))
-    val dirs = selected.map { m =>
-      if (m.hasChunk) s"$path/pod=${m.pod}/tchunk=${m.tchunk}" else s"$path/pod=${m.pod}"
+    val rels = selected.map { m =>
+      if (m.hasChunk) s"pod=${m.pod}/tchunk=${m.tchunk}/" else s"pod=${m.pod}/"
     }.distinct
-    spark.read.option("basePath", path).parquet(dirs: _*)
+    if (Files.exists(Paths.get(path, "_spark_metadata"))) {
+      // streaming-sink store: selecting pod directories directly would
+      // bypass the sink's commit log and surface orphan files the
+      // manifests (correctly) never accounted — restrict the listing to
+      // committed files under the selected partitions instead
+      val sel = committedDataFiles(spark, path)
+        .filter(f => rels.exists(f.startsWith)).map(f => s"$path/$f")
+      if (sel.isEmpty) readAll(spark, path).filter(lit(false))
+      else spark.read.option("basePath", path).parquet(sel: _*)
+    } else {
+      spark.read.option("basePath", path).parquet(rels.map(r => s"$path/${r.dropRight(1)}"): _*)
+    }
   }
 
   def readAll(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)

@@ -205,6 +205,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 36)
   }
 
+  test("half-committed commit (files.json stale vs manifests) triggers full rebuild, not silent skip") {
+    val s = spark
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-04-01 00:00:00")
+    val pages = (1 to 25).map(i =>
+      (s"https://crash/$i", new java.sql.Timestamp(t0.getTime + i * 60000L),
+        s"crash window page $i", "en")).toDF("url", "warc_ts", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("crash_out").toString
+    StreamingIndex.indexStream(pages).write.mode("overwrite").partitionBy("pod").parquet(out)
+    Pods.reconcile(spark, out, "crash-1", tsCol = Some("warc_ts"))
+    assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 25)
+
+    // simulate a crash BETWEEN the two commit writes: manifests.json has
+    // moved on (here: content perturbed) but files.json still carries
+    // the binding hash of the previous manifests — the generation stamp
+    // no longer matches, so the accounted set must be treated as unknown
+    val mf = java.nio.file.Paths.get(out, "_manifests", "manifests.json")
+    val perturbed = new String(java.nio.file.Files.readAllBytes(mf)) + "\n"
+    java.nio.file.Files.write(mf, perturbed.getBytes)
+    // old behavior: newFiles = onDisk minus accounted = empty -> returns 0
+    // forever, silently. New behavior: mismatch -> full rebuild.
+    val n = Pods.reconcileIncremental(spark, out, "crash-2", tsCol = Some("warc_ts"))
+    assert(n > 0, "stale files.json must force a full rebuild, not a 0-file no-op")
+    assert(Pods.isCommitted(out, "crash-2"))
+    assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 25)
+  }
+
+  test("streaming-sink orphan files are excluded from manifests and pruned reads") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val t0 = java.sql.Timestamp.valueOf("2025-05-01 00:00:00")
+    mem.addData((1 to 30).map(i =>
+      Page(s"https://orphan/$i", new java.sql.Timestamp(t0.getTime + i * 60000L),
+        s"orphan probe page $i", "en")))
+    val out = java.nio.file.Files.createTempDirectory("orphan_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("orphan_ckpt").toString
+    StreamingIndex.start(mem.toDF(), out, ckpt).awaitTermination(60000)
+
+    // plant an orphan: a data file in a pod directory that the sink's
+    // _spark_metadata commit log does NOT list (the leftover of a failed
+    // micro-batch attempt) — duplicate an existing committed file
+    val root = java.nio.file.Paths.get(out)
+    val walk = java.nio.file.Files.walk(root)
+    val committed = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_")).toSeq.head
+    } finally walk.close()
+    val orphan = committed.getParent.resolve("part-99999-orphan.snappy.parquet")
+    java.nio.file.Files.copy(committed, orphan)
+
+    Pods.reconcile(spark, out, "orphan-1", tsCol = Some("warc_ts"))
+    // the orphan's rows appear in neither the manifests nor a pruned read
+    assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 30)
+    val lvl = Pods.snapshotPodLevel(out)
+    val allPods = spark.read.parquet(out).select("pod").distinct().collect().map(_.getLong(0))
+    val total = allPods.map(p => Pods.read(spark, out, Array(p | lvl.toLong)).count()).sum
+    assert(total === 30, "pruned reads must honor the sink commit log, not the directory listing")
+    // and the orphan stays permanently un-merged by incremental calls
+    assert(Pods.reconcileIncremental(spark, out, "orphan-2", tsCol = Some("warc_ts")) === 0)
+  }
+
   test("windowed pod counts with watermark drop late rows past the threshold") {
     val s = spark
     import s.implicits._
