@@ -373,8 +373,12 @@ object AnnOps {
     // working columns: an input already carrying one would make the
     // broadcast join ambiguous (AnalysisException deep in the plan) or
     // silently overwrite caller data — fail fast with the fix instead
+    // case-insensitive: Spark resolves columns case-insensitively by
+    // default, so an input 'QID' collides with the output 'qid' just
+    // the same (AMBIGUOUS_REFERENCE deep in the plan without this)
+    val lowered = emb.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     Seq("qid", "cos_sim", "__rk", "__probe_cluster").foreach { n =>
-      require(!emb.columns.contains(n),
+      require(!lowered.contains(n),
         s"input already has a '$n' column — rename it before ivfTopKBatch " +
           "(qid and cos_sim are the batch output contract)")
     }

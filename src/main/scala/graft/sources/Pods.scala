@@ -112,12 +112,13 @@ object Pods {
     val mans = scanManifests(back, groupCols, hasTchunk, sidCol, tsCol, lineageId)
       .sortBy(m => (m.pod, m.tchunk))
 
-    // account exactly the files the scan above read: on a streaming-sink
+    // account exactly the files the scan above read, from the scan's own
+    // resolved relation (one listing, not a second): on a streaming-sink
     // store `spark.read.parquet(path)` honors the sink's _spark_metadata
     // commit log, so orphans from a failed micro-batch are neither
     // aggregated nor accounted (they stay "new" until their batch commits)
     writeCommit(path, mans, podLevel, hasTchunk, chunkMs, lineageId,
-      committedDataFiles(spark, path).toSet)
+      relativizeDataFiles(path, back.inputFiles).toSet)
   }
 
   /** One groupBy-collect deriving per-(pod[, tchunk]) manifests from a
@@ -147,12 +148,14 @@ object Pods {
   /** Atomically commit manifests + accounted file list + snapshot —
     * shared by full commits (write/reconcile) and incremental merges.
     * Write order matters for crash safety: manifests.json lands FIRST,
-    * then files.json carrying a content hash of the manifests it was
-    * committed with, then the snapshot. A crash between any two leaves
-    * a pair accountedFiles() detects as mismatched (stale files.json
-    * hash), which reconcileIncremental answers with a full rebuild —
-    * never the silent "files accounted but rows missing from the
-    * manifests" state the reverse order permitted. */
+    * then files.json, then the snapshot — each of the latter two
+    * carrying a content hash of the manifests it was committed with. A
+    * crash between ANY two writes leaves a triple accountedFiles()
+    * detects as mismatched (stale files.json hash, or a snapshot whose
+    * stamp doesn't match — including a pre-crash snapshot left behind
+    * by an interrupted re-commit), which reconcileIncremental answers
+    * with a full rebuild — never the silent "files accounted but rows
+    * missing from the manifests" state an unordered commit permits. */
   private def writeCommit(path: String, mans: Seq[ChunkManifest], podLevel: Int,
                           hasTchunk: Boolean, chunkMs: Long, lineageId: String,
                           files: Set[String]): Unit = {
@@ -164,14 +167,16 @@ object Pods {
         s""""tsMinMs":${m.tsMinMs},"tsMaxMs":${m.tsMaxMs},"lineageId":"$lineageId"}"""
     }
     val manifestBody = entries.mkString("[\n", ",\n", "\n]")
+    val manifestsHash = contentHash(manifestBody)
     atomicWrite(manifestsFile(path).toString, manifestBody)
     atomicWrite(filesFile(path).toString,
-      (s"$GenerationHeader${contentHash(manifestBody)}" +: files.toSeq.sorted).mkString("\n"))
+      (s"$GenerationHeader$manifestsHash" +: files.toSeq.sorted).mkString("\n"))
     val snapshot =
       s"""{"formatVersion":$FormatVersion,"lineageId":"$lineageId","podLevel":$podLevel,""" +
         s""""hasTchunk":$hasTchunk,"chunkMs":$chunkMs,""" +
         s""""pods":${mans.map(_.pod).distinct.length},"chunks":${mans.length},""" +
-        s""""rows":${mans.map(_.rowCount).sum},"committedAtMs":${System.currentTimeMillis()}}"""
+        s""""rows":${mans.map(_.rowCount).sum},"manifestsSha256":"$manifestsHash",""" +
+        s""""committedAtMs":${System.currentTimeMillis()}}"""
     atomicWrite(Paths.get(path, "_SNAPSHOT.json").toString, snapshot)
   }
 
@@ -308,27 +313,39 @@ object Pods {
       .digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
 
   /** Data-file paths the last commit accounted for (store-relative).
-    * Empty when absent OR when the generation header does not match the
-    * manifests on disk (a crash landed between the two writes): an
-    * empty answer makes reconcileIncremental rebuild the commit from a
-    * full scan, restoring consistency instead of silently skipping the
-    * half-committed batch. Headerless legacy files (written before the
-    * generation stamp) are accepted as-is — a complete legacy pair is
-    * consistent by construction. */
+    * Empty when absent, headerless, or when the generation stamp does
+    * not match the manifests AND snapshot on disk (a crash landed
+    * between the commit's three writes): an empty answer makes
+    * reconcileIncremental rebuild the commit from a full scan,
+    * restoring consistency instead of silently skipping — or
+    * double-counting — the half-committed batch. Headerless legacy
+    * files (written before the generation stamp) are rejected too: a
+    * complete legacy triple reads consistently, but a crash during its
+    * FIRST stamped re-commit could pair fresh manifests (rows already
+    * merged) with the old unstamped file list, and the next increment
+    * would merge the same batch twice. One full rebuild upgrades the
+    * store and closes that window for good. */
   private def accountedFiles(path: String): Set[String] = {
     val f = filesFile(path)
     if (!Files.exists(f)) Set.empty
     else {
       val lines = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
         .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-      val stamped = lines.headOption.exists(_.startsWith(GenerationHeader))
-      if (stamped) {
-        val mf = manifestsFile(path)
-        val current =
-          if (Files.exists(mf)) contentHash(new String(Files.readAllBytes(mf), StandardCharsets.UTF_8))
-          else ""
-        if (lines.head.stripPrefix(GenerationHeader) != current) return Set.empty
-      }
+      if (!lines.headOption.exists(_.startsWith(GenerationHeader))) return Set.empty
+      val stamp = lines.head.stripPrefix(GenerationHeader)
+      val mf = manifestsFile(path)
+      val current =
+        if (Files.exists(mf)) contentHash(new String(Files.readAllBytes(mf), StandardCharsets.UTF_8))
+        else ""
+      if (stamp != current) return Set.empty
+      // the snapshot must carry the same stamp: a crash after files.json
+      // but before the snapshot leaves stale lineage/podLevel/row totals
+      // that would otherwise never be repaired (newFiles comes out empty)
+      val sf = Paths.get(path, "_SNAPSHOT.json")
+      val snapshotOk = Files.exists(sf) &&
+        new String(Files.readAllBytes(sf), StandardCharsets.UTF_8)
+          .contains(s""""manifestsSha256":"$stamp"""")
+      if (!snapshotOk) return Set.empty
       lines.filterNot(_.startsWith("#")).toSet
     }
   }
@@ -339,13 +356,19 @@ object Pods {
     * otherwise the directory walk. The log read is metadata-only. */
   private def committedDataFiles(spark: SparkSession, path: String): Seq[String] = {
     if (!Files.exists(Paths.get(path, "_spark_metadata"))) walkDataFiles(path)
-    else {
-      val root = Paths.get(path).toAbsolutePath
-      spark.read.parquet(path).inputFiles.toSeq.map { f =>
-        val p = if (f.contains(":/")) Paths.get(new java.net.URI(f)) else Paths.get(f)
-        root.relativize(p.toAbsolutePath).toString
-      }.filter(_.startsWith("pod=")).sorted
-    }
+    else relativizeDataFiles(path, spark.read.parquet(path).inputFiles)
+  }
+
+  /** inputFiles entries (URI strings or raw paths) -> sorted
+    * store-relative data-file paths. Hadoop Path does the URI parsing:
+    * inputFiles returns UNENCODED strings ("file:/a b/pod=1/x.parquet"),
+    * which java.net.URI rejects on the first space. */
+  private def relativizeDataFiles(path: String, files: Array[String]): Seq[String] = {
+    val root = Paths.get(path).toAbsolutePath
+    files.toSeq.map { f =>
+      val p = Paths.get(new org.apache.hadoop.fs.Path(f).toUri.getPath)
+      root.relativize(p.toAbsolutePath).toString
+    }.filter(_.startsWith("pod=")).sorted
   }
 
   /** All parquet data files under the store, as store-relative paths

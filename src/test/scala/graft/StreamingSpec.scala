@@ -230,6 +230,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 0, "stale files.json must force a full rebuild, not a 0-file no-op")
     assert(Pods.isCommitted(out, "crash-2"))
     assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 25)
+
+    // crash window 2: manifests + files.json landed but the SNAPSHOT
+    // write did not — disk carries the PREVIOUS snapshot (here: its
+    // stamp perturbed). newFiles alone would come out empty and the
+    // stale lineage/totals would never be repaired; the snapshot-stamp
+    // check must force the rebuild instead.
+    val sf = java.nio.file.Paths.get(out, "_SNAPSHOT.json")
+    val snapBody = new String(java.nio.file.Files.readAllBytes(sf))
+    java.nio.file.Files.write(sf,
+      snapBody.replaceAll(""""manifestsSha256":"[0-9a-f]+"""",
+        """"manifestsSha256":"deadbeef"""").getBytes)
+    val n2 = Pods.reconcileIncremental(spark, out, "crash-3", tsCol = Some("warc_ts"))
+    assert(n2 > 0, "stale snapshot stamp must force a full rebuild")
+    assert(Pods.isCommitted(out, "crash-3"))
+    assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 25)
+
+    // legacy window: a headerless (pre-stamp) files.json cannot prove it
+    // matches the manifests — one full rebuild upgrades the store
+    // instead of risking a double-merge after an interrupted re-commit
+    val ff = java.nio.file.Paths.get(out, "_manifests", "files.json")
+    val noHeader = new String(java.nio.file.Files.readAllBytes(ff))
+      .linesIterator.filterNot(_.startsWith("#")).mkString("\n")
+    java.nio.file.Files.write(ff, noHeader.getBytes)
+    val n3 = Pods.reconcileIncremental(spark, out, "crash-4", tsCol = Some("warc_ts"))
+    assert(n3 > 0, "headerless legacy files.json must force a full rebuild")
+    assert(Pods.isCommitted(out, "crash-4"))
+    assert(Pods.catalog(spark, out).agg(sum(col("rowCount"))).collect()(0).getLong(0) === 25)
   }
 
   test("streaming-sink orphan files are excluded from manifests and pruned reads") {
