@@ -381,6 +381,37 @@ object SparkEntry {
         .filter(inRegion(r) && unix_timestamp(col("warc_ts")).between(t0, t1))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "q49_image_decode" -> ((s, dir) => {
+      // REAL image codec through the hard signal (q29/q46 cover only
+      // the stubbed audio/video shape): a deterministic solid-color PNG
+      // per document — encoded by the JDK's actual PNG writer — decoded
+      // back by the actual reader, per-channel means from the decoded
+      // pixels. Solid color makes the means exactly the planted color,
+      // so DuckDB reproduces the output in closed form while every
+      // pixel still travels through the codec both ways.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), synthPng(col("doc_id")).as("img"))
+      Multimodal.extractImageFeatures(docs)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_r").cast("long").as("mean_r"),
+          col("mean_g").cast("long").as("mean_g"),
+          col("mean_b").cast("long").as("mean_b"))
+        .orderBy(col("doc_id"))
+    }),
+    "q50_image_resize" -> ((s, dir) => {
+      // full REAL chain: decode -> area-averaged resize -> PNG re-encode
+      // -> decode again. Solid colors are invariant under area
+      // averaging, so dims and means stay closed-form for the oracle.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), synthPng(col("doc_id")).as("img"))
+      val thumbs = Multimodal.resizeImages(docs, targetW = 5, targetH = 4)
+      Multimodal.extractImageFeatures(thumbs.select(col("doc_id"), col("thumb")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_r").cast("long").as("mean_r"),
+          col("mean_g").cast("long").as("mean_g"),
+          col("mean_b").cast("long").as("mean_b"))
+        .orderBy(col("doc_id"))
+    }),
     "q33_cover_algebra" -> ((s, dir) => {
       // stare_intersection as a join prune: per region pair, docs in
       // BOTH boxes are found via the pair's cover∩cover (superset of the
@@ -804,6 +835,15 @@ object SparkEntry {
     s
   })
 
+  /** Deterministic per-document solid-color PNG (REAL JDK ImageIO
+    * encoder; q49/q50's input). Solid color keeps the decoded channel
+    * means in closed form for the oracle while every pixel still
+    * travels through the actual codec. UDF justified: a codec call has
+    * no built-in equivalent. */
+  private val synthPng = udf((id: Long) => Multimodal.encodePng(
+    (4 + id % 13).toInt, (3 + id % 7).toInt,
+    (((id * 37) % 256).toInt << 16) | (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt))
+
   /** structural WKT validation: MULTIPOLYGON of closed 4-point rings
     * with in-range coordinates (exercises to_trixels + antimeridian
     * splitting; mirrored by a constant `true` in the oracle). */
@@ -1096,6 +1136,17 @@ object SparkEntry {
            |WHERE ${regionPredSql(region("asia_se"))}
            |  AND (1700000000 + doc_id * 61 % 31536000) BETWEEN 1700005000 AND 1700028000
            |ORDER BY doc_id""".stripMargin,
+      "q49_image_decode" ->
+        """SELECT doc_id, (4 + doc_id % 13)::INTEGER AS width,
+          |  (3 + doc_id % 7)::INTEGER AS height,
+          |  (doc_id * 37) % 256 AS mean_r, (doc_id * 59) % 256 AS mean_g,
+          |  (doc_id * 83) % 256 AS mean_b
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q50_image_resize" ->
+        """SELECT doc_id, 5::INTEGER AS width, 4::INTEGER AS height,
+          |  (doc_id * 37) % 256 AS mean_r, (doc_id * 59) % 256 AS mean_g,
+          |  (doc_id * 83) % 256 AS mean_b
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q33_cover_algebra" -> {
         val pairVals = regionPairs.map { case (a, b) =>
           s"('${a.name}|${b.name}', ${a.lonMin}, ${a.lonMax}, ${a.latMin}, ${a.latMax}, ${a.wraps}, " +

@@ -7,13 +7,24 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio payloads as opaque `binary`
   * columns with typed metadata, batch-shaped feature extraction.
   *
-  * The decode step is STUBBED (no image/audio codecs ship in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — schema, batched mapPartitions shape,
-  * partition sizing — is real: swapping `decodeStub` for a JNI/FFmpeg
-  * call changes nothing structurally.
+  * IMAGES are handled by a REAL codec path (`decodeImage`,
+  * `extractImageFeatures`, `resizeImages`, `encodePng`): the JDK's own
+  * `javax.imageio` ships PNG/JPEG/BMP/GIF readers and PNG/JPEG writers,
+  * headless-safe, no external library needed — verified in-sandbox and
+  * oracle-gated end-to-end (q49 encode→decode, q50 decode→resize→
+  * re-encode→decode, exact pixel math both).
+  *
+  * Only AUDIO/VIDEO demux remains STUBBED (no FFmpeg-class codecs in
+  * the JDK): `decodeStub`/`sampleFrames` derive deterministic fake
+  * features from the bytes. Everything around those — schema, batched
+  * mapPartitions shape, partition sizing — is real: swapping the stub
+  * for a JNI/FFmpeg call changes nothing structurally.
   */
 object Multimodal {
+
+  // ImageIO must not try to touch a display; idempotent, and a no-op
+  // where the JVM already started headless
+  System.setProperty("java.awt.headless", "true")
 
   val featureSchema: StructType = StructType(Seq(
     StructField("url", StringType),
@@ -73,6 +84,153 @@ object Multimodal {
         var y = 0
         while (y < targetH) { thumb(y) = ((h >>> (y % 8 * 8)) & 0xff).toByte; y += 1 }
         Row(r.getString(0), targetW, targetH, thumb)
+      }
+    }(enc)
+  }
+
+  // ---------------------------------------------------------------- //
+  //                    REAL image codec path (JDK)                    //
+  // ---------------------------------------------------------------- //
+
+  /** PNG-encode a solid-color RGB image (lossless; byte-exact round
+    * trip). Doubles as the deterministic image synthesizer for tests,
+    * benches, and the q49/q50 oracles — no external data needed. */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb & 0xffffff))
+    g.fillRect(0, 0, width, height)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode via javax.imageio (PNG/JPEG/BMP/GIF): dimensions and
+    * per-channel mean. None when the payload is not a decodable image —
+    * callers drop such rows (a crawl column is never 100% clean). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      // one bulk getRGB: per-pixel calls go through the color model per
+      // pixel and measured ~10x slower on large images
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        i += 1
+      }
+      val n = w.toLong * h
+      Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    }
+  }
+
+  /** Batched REAL image feature extraction. Input: exactly (id, img
+    * binary) — the id column (any type, e.g. url or doc_id) passes
+    * through untouched, so no join-back is needed. Undecodable payloads
+    * are dropped (flatMap), the shape a crawl pipeline wants. */
+  def extractImageFeatures(df: DataFrame): DataFrame = {
+    require(df.schema.fields.length == 2, "expected exactly (id, img) columns")
+    val idField = df.schema.fields(0)
+    val schema = StructType(idField +: Seq(
+      StructField("byte_len", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        decodeImage(bytes).map { case (w, h, mr, mg, mb) =>
+          Row(r.get(0), bytes.length.toLong, w, h, mr, mg, mb)
+        }
+      }
+    }(enc)
+  }
+
+  /** Exact area-averaged scale of packed-RGB pixels: each target pixel
+    * is the area-weighted mean of the source rectangle it maps to
+    * (fractional edge coverage included), rounded half-up per channel.
+    * Deterministic pure math — deliberately NOT `getScaledInstance` +
+    * `drawImage(.., observer = null)`, whose filtered-image production
+    * is asynchronous by contract and can draw partially on some JVMs. */
+  private[graft] def areaAverage(
+      src: Array[Int], sw: Int, sh: Int, tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    val xs = sw.toDouble / tw
+    val ys = sh.toDouble / th
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * ys; val y1 = (ty + 1) * ys
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * xs; val x1 = (tx + 1) * xs
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var area = 0.0
+        var y = math.floor(y0).toInt
+        while (y < math.ceil(y1) && y < sh) {
+          val wy = math.min(y1, y + 1.0) - math.max(y0, y.toDouble)
+          var x = math.floor(x0).toInt
+          while (x < math.ceil(x1) && x < sw) {
+            val wx = math.min(x1, x + 1.0) - math.max(x0, x.toDouble)
+            val w = wx * wy
+            val p = src(y * sw + x)
+            sr += w * ((p >> 16) & 0xff); sg += w * ((p >> 8) & 0xff); sb += w * (p & 0xff)
+            area += w
+            x += 1
+          }
+          y += 1
+        }
+        out(ty * tw + tx) =
+          (math.round(sr / area).toInt << 16) | (math.round(sg / area).toInt << 8) |
+            math.round(sb / area).toInt
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Batched REAL resize: decode (any JDK-readable format) → exact
+    * area-averaged scale (`areaAverage`) → PNG re-encode. Input: exactly
+    * (id, img); output (id, width, height, thumb). Undecodable payloads
+    * dropped. */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    val idField = df.schema.fields(0)
+    val schema = StructType(idField +: Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("thumb", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (src == null) None
+        else {
+          val sw = src.getWidth; val sh = src.getHeight
+          val scaled = areaAverage(
+            src.getRGB(0, 0, sw, sh, null, 0, sw), sw, sh, targetW, targetH)
+          val dst = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          dst.setRGB(0, 0, targetW, targetH, scaled, 0, targetW)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Some(Row(r.get(0), targetW, targetH, bos.toByteArray))
+        }
       }
     }(enc)
   }

@@ -154,6 +154,56 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     f0.foreach(r => assert(r.getLong(0) === 2000L))
   }
 
+  test("REAL image codec (JDK ImageIO): PNG exact, JPEG lossy-close, resize, undecodable dropped") {
+    import graft.pipeline.Multimodal
+    val s = spark
+    import s.implicits._
+    // non-solid content: 2-color checkerboard with an even pixel count,
+    // so the channel means are exact halves — proves the decoder reads
+    // actual pixels, not metadata
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0x204060 else 0x80A0C0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val (w, h, mr, mg, mb) = Multimodal.decodeImage(png).get
+    assert((w, h) === ((8, 6)))
+    assert(mr === (0x20 + 0x80) / 2.0)
+    assert(mg === (0x40 + 0xa0) / 2.0)
+    assert(mb === (0x60 + 0xc0) / 2.0)
+
+    // JPEG: lossy — dimensions exact, means within codec tolerance
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val (jw, jh, jr, jg, jbl) = Multimodal.decodeImage(jb.toByteArray).get
+    assert((jw, jh) === ((8, 6)))
+    assert(math.abs(jr - mr) < 8 && math.abs(jg - mg) < 8 && math.abs(jbl - mb) < 8)
+
+    // DataFrame path: a garbage payload is dropped, not crashed on
+    val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3))).toDF("id", "img")
+    assert(Multimodal.extractImageFeatures(df).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val rs2 = Multimodal.resizeImages(df, 4, 3).collect()
+    assert(rs2.length === 1 && rs2(0).getInt(1) === 4 && rs2(0).getInt(2) === 3)
+    val (rw, rh, cr, cg, cb) = Multimodal.decodeImage(rs2(0).getAs[Array[Byte]](3)).get
+    assert((rw, rh) === ((4, 3)))
+    // closed form on NON-solid content: 8x6 checkerboard -> 4x3 means each
+    // target pixel covers exactly one 2x2 block = 2 dark + 2 light pixels,
+    // so EVERY output pixel is the exact mid color — proves the kernel
+    // actually averages source pixels with correct geometry
+    assert((cr, cg, cb) === (((0x20 + 0x80) / 2.0, (0x40 + 0xa0) / 2.0, (0x60 + 0xc0) / 2.0)))
+    // fractional-coverage path: 3px row [90, 30, 60] -> 2px at 1.5px each:
+    // left = (90 + 30/2)/1.5 = 70, right = (30/2 + 60)/1.5 = 50
+    val frac = Multimodal.areaAverage(
+      Array(90 << 16 | 90 << 8 | 90, 30 << 16 | 30 << 8 | 30, 60 << 16 | 60 << 8 | 60), 3, 1, 2, 1)
+    assert(frac.map(_ & 0xff).toSeq === Seq(70, 50))
+
+    // q49's synthesizer chain: solid encode -> decode is pixel-exact
+    val (sw, sh, sr, sg, sb) = Multimodal.decodeImage(Multimodal.encodePng(7, 5, 0x112233)).get
+    assert((sw, sh) === ((7, 5)))
+    assert((sr, sg, sb) === ((0x11.toDouble, 0x22.toDouble, 0x33.toDouble)))
+  }
+
   test("q33 smoke at sf0.001: overlapping south-america pairs count > 0 docs consistently") {
     val rows = SparkEntry.queries("q33_cover_algebra")(spark, sf).collect()
     assert(rows.length === SparkEntry.regionPairs.length)
