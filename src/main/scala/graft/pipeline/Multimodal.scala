@@ -22,9 +22,35 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  // ImageIO must not try to touch a display; idempotent, and a no-op
-  // where the JVM already started headless
-  System.setProperty("java.awt.headless", "true")
+  /** One-time codec setup, evaluated lazily from the codec entry points
+    * (NOT a static initializer — class-loading this object must not
+    * flip global JVM state for apps that never touch the codec):
+    * headless so ImageIO never probes a display (only when unset — a
+    * GUI-embedding driver keeps its own setting), and no disk cache —
+    * the default FileCacheImageInput/OutputStream creates a temp file
+    * per read/write, which at one-per-row in mapPartitions is millions
+    * of create/delete syscalls for byte-array streams that need none. */
+  private lazy val codecInit: Unit = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Decode-or-None with failure classification: `None` = the PAYLOAD is
+    * not a decodable image (no reader claims it, a recognized format is
+    * corrupt, or a decoder trips on malformed data) — callers drop such
+    * rows. Environmental failures (plain IOException: disk full, task
+    * interrupt) PROPAGATE and fail the task — silently dropping rows on
+    * them would return truncated results with no error. */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    codecInit
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch {
+      case _: javax.imageio.IIOException => None
+      case _: java.io.EOFException => None // truncated payload a reader claimed
+      case _: RuntimeException => None // decoder bugs on malformed payloads
+    }
+  }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("url", StringType),
@@ -97,6 +123,7 @@ object Multimodal {
     * benches, and the q49/q50 oracles — no external data needed. */
   def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    codecInit
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()
@@ -110,13 +137,10 @@ object Multimodal {
 
   /** REAL decode via javax.imageio (PNG/JPEG/BMP/GIF): dimensions and
     * per-channel mean. None when the payload is not a decodable image —
-    * callers drop such rows (a crawl column is never 100% clean). */
-  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
-    if (img == null) None
-    else {
+    * callers drop such rows (a crawl column is never 100% clean);
+    * environmental I/O failures propagate (see `readImage`). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    readImage(bytes).map { img =>
       val w = img.getWidth
       val h = img.getHeight
       // one bulk getRGB: per-pixel calls go through the color model per
@@ -130,9 +154,8 @@ object Multimodal {
         i += 1
       }
       val n = w.toLong * h
-      Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
-  }
 
   /** Batched REAL image feature extraction. Input: exactly (id, img
     * binary) — the id column (any type, e.g. url or doc_id) passes
@@ -141,6 +164,8 @@ object Multimodal {
   def extractImageFeatures(df: DataFrame): DataFrame = {
     require(df.schema.fields.length == 2, "expected exactly (id, img) columns")
     val idField = df.schema.fields(0)
+    require(!Set("byte_len", "width", "height", "mean_r", "mean_g", "mean_b")
+      .contains(idField.name), s"id column '${idField.name}' collides with an output column")
     val schema = StructType(idField +: Seq(
       StructField("byte_len", LongType),
       StructField("width", IntegerType),
@@ -207,7 +232,10 @@ object Multimodal {
     * dropped. */
   def resizeImages(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    require(df.schema.fields.length == 2, "expected exactly (id, img) columns")
     val idField = df.schema.fields(0)
+    require(!Set("width", "height", "thumb").contains(idField.name),
+      s"id column '${idField.name}' collides with an output column")
     val schema = StructType(idField +: Seq(
       StructField("width", IntegerType),
       StructField("height", IntegerType),
@@ -216,11 +244,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val src =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
-        if (src == null) None
-        else {
+        readImage(bytes).map { src =>
           val sw = src.getWidth; val sh = src.getHeight
           val scaled = areaAverage(
             src.getRGB(0, 0, sw, sh, null, 0, sw), sw, sh, targetW, targetH)
@@ -229,7 +253,7 @@ object Multimodal {
           dst.setRGB(0, 0, targetW, targetH, scaled, 0, targetW)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(dst, "png", bos)
-          Some(Row(r.get(0), targetW, targetH, bos.toByteArray))
+          Row(r.get(0), targetW, targetH, bos.toByteArray)
         }
       }
     }(enc)
