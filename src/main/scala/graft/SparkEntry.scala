@@ -412,6 +412,16 @@ object SparkEntry {
           col("mean_b").cast("long").as("mean_b"))
         .orderBy(col("doc_id"))
     }),
+    "q51_image_meta" -> ((s, dir) => {
+      // header-only probe (no pixel decode) — the 100 TB first stage:
+      // format/dims come from the PNG IHDR via ImageReader.getWidth,
+      // closed-form for the oracle because the synthesizer plants them
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), synthPng(col("doc_id")).as("img"))
+      Multimodal.imageMetaFrame(docs)
+        .select(col("doc_id"), col("format"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
     "q33_cover_algebra" -> ((s, dir) => {
       // stare_intersection as a join prune: per region pair, docs in
       // BOTH boxes are found via the pair's cover∩cover (superset of the
@@ -1146,6 +1156,10 @@ object SparkEntry {
         """SELECT doc_id, 5::INTEGER AS width, 4::INTEGER AS height,
           |  (doc_id * 37) % 256 AS mean_r, (doc_id * 59) % 256 AS mean_g,
           |  (doc_id * 83) % 256 AS mean_b
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q51_image_meta" ->
+        """SELECT doc_id, 'png' AS format, (4 + doc_id % 13)::INTEGER AS width,
+          |  (3 + doc_id % 7)::INTEGER AS height
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q33_cover_algebra" -> {
         val pairVals = regionPairs.map { case (a, b) =>

@@ -52,6 +52,57 @@ object Multimodal {
     }
   }
 
+  /** HEADER-ONLY metadata probe: (format, width, height) without pixel
+    * decode. `ImageReader.getWidth/getHeight` read only the header
+    * (SOF0 marker for JPEG, IHDR for PNG), so at crawl scale this is
+    * the cheap first stage — filter by dims/format, THEN pay full
+    * decode on the survivors only. None when no reader claims the
+    * payload or the header is malformed. */
+  def imageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    codecInit
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in, true, true) // seekForwardOnly, ignoreMetadata
+          Some((reader.getFormatName.toLowerCase, reader.getWidth(0), reader.getHeight(0)))
+        } catch {
+          case _: java.io.IOException => None // malformed header in a claimed payload
+          case _: RuntimeException => None
+        } finally reader.dispose()
+      }
+    } finally in.close()
+  }
+
+  /** Batched header-only metadata: input exactly (id, img); output
+    * (id, byte_len, format, width, height). Unclaimed payloads dropped.
+    * The 100 TB shape: a dims/format predicate here prunes the rows
+    * that ever reach `extractImageFeatures`' full pixel decode. */
+  def imageMetaFrame(df: DataFrame): DataFrame = {
+    require(df.schema.fields.length == 2, "expected exactly (id, img) columns")
+    val idField = df.schema.fields(0)
+    require(!Set("byte_len", "format", "width", "height").contains(idField.name),
+      s"id column '${idField.name}' collides with an output column")
+    val schema = StructType(idField +: Seq(
+      StructField("byte_len", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        imageMeta(bytes).map { case (fmt, w, h) =>
+          Row(r.get(0), bytes.length.toLong, fmt, w, h)
+        }
+      }
+    }(enc)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("url", StringType),
     StructField("byte_len", LongType),

@@ -202,6 +202,16 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (sw, sh, sr, sg, sb) = Multimodal.decodeImage(Multimodal.encodePng(7, 5, 0x112233)).get
     assert((sw, sh) === ((7, 5)))
     assert((sr, sg, sb) === ((0x11.toDouble, 0x22.toDouble, 0x33.toDouble)))
+
+    // header-only meta (q51): format + dims without pixel decode, for
+    // PNG and JPEG payloads; garbage yields None, not a crash
+    assert(Multimodal.imageMeta(png) === Some(("png", 8, 6)))
+    val Some((jfmt, jmw, jmh)) = Multimodal.imageMeta(jb.toByteArray)
+    assert(jfmt.startsWith("jp") && (jmw, jmh) === ((8, 6)))
+    assert(Multimodal.imageMeta(Array[Byte](1, 2, 3)) === None)
+    val metas = Multimodal.imageMetaFrame(df).collect()
+    assert(metas.length === 1 && metas(0).getString(2) === "png" &&
+      metas(0).getInt(3) === 8 && metas(0).getInt(4) === 6)
   }
 
   test("q33 smoke at sf0.001: overlapping south-america pairs count > 0 docs consistently") {
