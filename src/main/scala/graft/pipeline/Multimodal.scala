@@ -60,6 +60,7 @@ object Multimodal {
     * payload or the header is malformed. */
   def imageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     codecInit
+    if (bytes == null) return None
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -69,7 +70,8 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(in, true, true) // seekForwardOnly, ignoreMetadata
-          Some((reader.getFormatName.toLowerCase, reader.getWidth(0), reader.getHeight(0)))
+          Some((reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            reader.getWidth(0), reader.getHeight(0)))
         } catch {
           case _: java.io.IOException => None // malformed header in a claimed payload
           case _: RuntimeException => None
@@ -78,30 +80,45 @@ object Multimodal {
     } finally in.close()
   }
 
-  /** Batched header-only metadata: input exactly (id, img); output
-    * (id, byte_len, format, width, height). Unclaimed payloads dropped.
-    * The 100 TB shape: a dims/format predicate here prunes the rows
-    * that ever reach `extractImageFeatures`' full pixel decode. */
-  def imageMetaFrame(df: DataFrame): DataFrame = {
+  /** Shared scaffold for the batched (id, img binary) → typed-row image
+    * frames: enforces the 2-column input shape and id-name collision
+    * guard once, drops rows where `f` declines (null payload included —
+    * a crawl column is never 100% clean), and makes every drop
+    * OBSERVABLE through the named `graft.image.droppedRows` accumulator
+    * (Spark UI / `sc.longAccumulator` value): at 100 TB a silent drop
+    * rate is indistinguishable from truncation, so it must be a metric. */
+  private def idBinaryFrame(df: DataFrame, outFields: Seq[StructField])(
+      f: Array[Byte] => Option[Seq[Any]]): DataFrame = {
     require(df.schema.fields.length == 2, "expected exactly (id, img) columns")
     val idField = df.schema.fields(0)
-    require(!Set("byte_len", "format", "width", "height").contains(idField.name),
+    require(!outFields.exists(_.name == idField.name),
       s"id column '${idField.name}' collides with an output column")
-    val schema = StructType(idField +: Seq(
-      StructField("byte_len", LongType),
-      StructField("format", StringType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType)))
+    val schema = StructType(idField +: outFields)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val dropped = df.sparkSession.sparkContext.longAccumulator("graft.image.droppedRows")
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        imageMeta(bytes).map { case (fmt, w, h) =>
-          Row(r.get(0), bytes.length.toLong, fmt, w, h)
-        }
+        val out = if (bytes == null) None else f(bytes)
+        if (out.isEmpty) dropped.add(1)
+        out.map(vals => Row.fromSeq(r.get(0) +: vals))
       }
     }(enc)
   }
+
+  /** Batched header-only metadata: input exactly (id, img); output
+    * (id, byte_len, format, width, height). Unclaimed payloads dropped
+    * (counted in `graft.image.droppedRows`). The 100 TB shape: a
+    * dims/format predicate here prunes the rows that ever reach
+    * `extractImageFeatures`' full pixel decode. */
+  def imageMetaFrame(df: DataFrame): DataFrame =
+    idBinaryFrame(df, Seq(
+      StructField("byte_len", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))) { bytes =>
+      imageMeta(bytes).map { case (fmt, w, h) => Seq[Any](bytes.length.toLong, fmt, w, h) }
+    }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("url", StringType),
@@ -182,14 +199,34 @@ object Multimodal {
     g.fillRect(0, 0, width, height)
     g.dispose()
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no PNG image writer registered in this JVM") // write() returning
+    // false writes NOTHING — an empty payload here would silently empty
+    // every downstream query instead of failing with a cause
     bos.toByteArray
   }
 
+  /** Alpha-composite a packed ARGB pixel over a WHITE background →
+    * packed RGB. Transparent pixels carry undefined RGB (often palette
+    * black in logo PNGs/GIFs); averaging them raw skews features dark.
+    * Opaque pixels (a=255, every TYPE_INT_RGB image) pass through
+    * bit-exact, so the closed-form oracles are unaffected. */
+  @inline private def overWhite(p: Int): Int = {
+    val a = p >>> 24
+    if (a == 255) p & 0xffffff
+    else {
+      val inv = 255 - a
+      (((a * ((p >> 16) & 0xff) + inv * 255) / 255) << 16) |
+        (((a * ((p >> 8) & 0xff) + inv * 255) / 255) << 8) |
+        ((a * (p & 0xff) + inv * 255) / 255)
+    }
+  }
+
   /** REAL decode via javax.imageio (PNG/JPEG/BMP/GIF): dimensions and
-    * per-channel mean. None when the payload is not a decodable image —
-    * callers drop such rows (a crawl column is never 100% clean);
-    * environmental I/O failures propagate (see `readImage`). */
+    * per-channel mean, transparency composited over white (`overWhite`).
+    * None when the payload is not a decodable image — callers drop such
+    * rows (a crawl column is never 100% clean); environmental I/O
+    * failures propagate (see `readImage`). */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
     readImage(bytes).map { img =>
       val w = img.getWidth
@@ -200,7 +237,7 @@ object Multimodal {
       var sr = 0L; var sg = 0L; var sb = 0L
       var i = 0
       while (i < px.length) {
-        val p = px(i)
+        val p = overWhite(px(i))
         sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
         i += 1
       }
@@ -211,29 +248,19 @@ object Multimodal {
   /** Batched REAL image feature extraction. Input: exactly (id, img
     * binary) — the id column (any type, e.g. url or doc_id) passes
     * through untouched, so no join-back is needed. Undecodable payloads
-    * are dropped (flatMap), the shape a crawl pipeline wants. */
-  def extractImageFeatures(df: DataFrame): DataFrame = {
-    require(df.schema.fields.length == 2, "expected exactly (id, img) columns")
-    val idField = df.schema.fields(0)
-    require(!Set("byte_len", "width", "height", "mean_r", "mean_g", "mean_b")
-      .contains(idField.name), s"id column '${idField.name}' collides with an output column")
-    val schema = StructType(idField +: Seq(
+    * are dropped (counted in `graft.image.droppedRows`). */
+  def extractImageFeatures(df: DataFrame): DataFrame =
+    idBinaryFrame(df, Seq(
       StructField("byte_len", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("mean_r", DoubleType),
       StructField("mean_g", DoubleType),
-      StructField("mean_b", DoubleType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        decodeImage(bytes).map { case (w, h, mr, mg, mb) =>
-          Row(r.get(0), bytes.length.toLong, w, h, mr, mg, mb)
-        }
+      StructField("mean_b", DoubleType))) { bytes =>
+      decodeImage(bytes).map { case (w, h, mr, mg, mb) =>
+        Seq[Any](bytes.length.toLong, w, h, mr, mg, mb)
       }
-    }(enc)
-  }
+    }
 
   /** Exact area-averaged scale of packed-RGB pixels: each target pixel
     * is the area-weighted mean of the source rectangle it maps to
@@ -280,34 +307,30 @@ object Multimodal {
   /** Batched REAL resize: decode (any JDK-readable format) → exact
     * area-averaged scale (`areaAverage`) → PNG re-encode. Input: exactly
     * (id, img); output (id, width, height, thumb). Undecodable payloads
-    * dropped. */
+    * dropped (counted in `graft.image.droppedRows`). */
   def resizeImages(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
-    require(df.schema.fields.length == 2, "expected exactly (id, img) columns")
-    val idField = df.schema.fields(0)
-    require(!Set("width", "height", "thumb").contains(idField.name),
-      s"id column '${idField.name}' collides with an output column")
-    val schema = StructType(idField +: Seq(
+    idBinaryFrame(df, Seq(
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("thumb", BinaryType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        readImage(bytes).map { src =>
-          val sw = src.getWidth; val sh = src.getHeight
-          val scaled = areaAverage(
-            src.getRGB(0, 0, sw, sh, null, 0, sw), sw, sh, targetW, targetH)
-          val dst = new java.awt.image.BufferedImage(
-            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          dst.setRGB(0, 0, targetW, targetH, scaled, 0, targetW)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(dst, "png", bos)
-          Row(r.get(0), targetW, targetH, bos.toByteArray)
-        }
+      StructField("thumb", BinaryType))) { bytes =>
+      readImage(bytes).map { src =>
+        val sw = src.getWidth; val sh = src.getHeight
+        // composite transparency over white BEFORE averaging — hidden
+        // RGB under alpha=0 must not bleed into thumbnail pixels
+        val px = src.getRGB(0, 0, sw, sh, null, 0, sw)
+        var i = 0
+        while (i < px.length) { px(i) = overWhite(px(i)); i += 1 }
+        val scaled = areaAverage(px, sw, sh, targetW, targetH)
+        val dst = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        dst.setRGB(0, 0, targetW, targetH, scaled, 0, targetW)
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(dst, "png", bos),
+          "no PNG image writer registered in this JVM")
+        Seq[Any](targetW, targetH, bos.toByteArray)
       }
-    }(enc)
+    }
   }
 
   val frameSchema: StructType = StructType(Seq(

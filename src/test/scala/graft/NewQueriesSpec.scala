@@ -180,8 +180,10 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((jw, jh) === ((8, 6)))
     assert(math.abs(jr - mr) < 8 && math.abs(jg - mg) < 8 && math.abs(jbl - mb) < 8)
 
-    // DataFrame path: a garbage payload is dropped, not crashed on
-    val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3))).toDF("id", "img")
+    // DataFrame path: garbage AND null payloads are dropped (and counted
+    // in the graft.image.droppedRows accumulator), not crashed on
+    val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3)), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "img")
     assert(Multimodal.extractImageFeatures(df).collect().map(_.getLong(0)).toSeq === Seq(1L))
     val rs2 = Multimodal.resizeImages(df, 4, 3).collect()
     assert(rs2.length === 1 && rs2(0).getInt(1) === 4 && rs2(0).getInt(2) === 3)
@@ -209,9 +211,26 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val Some((jfmt, jmw, jmh)) = Multimodal.imageMeta(jb.toByteArray)
     assert(jfmt.startsWith("jp") && (jmw, jmh) === ((8, 6)))
     assert(Multimodal.imageMeta(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.imageMeta(null) === None)
     val metas = Multimodal.imageMetaFrame(df).collect()
     assert(metas.length === 1 && metas(0).getString(2) === "png" &&
       metas(0).getInt(3) === 8 && metas(0).getInt(4) === 6)
+
+    // transparency: hidden RGB under alpha must composite over WHITE,
+    // not bleed into means/thumbs. 2x1 ARGB: opaque black + fully
+    // transparent (black underneath) -> means exactly (0+255)/2
+    val aimg = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    aimg.setRGB(0, 0, 0xff000000)
+    aimg.setRGB(1, 0, 0x00000000)
+    val ab = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(aimg, "png", ab)
+    val (_, _, ar, ag, abl) = Multimodal.decodeImage(ab.toByteArray).get
+    assert((ar, ag, abl) === ((127.5, 127.5, 127.5)))
+    val adf = Seq((1L, ab.toByteArray)).toDF("id", "img")
+    val athumb = Multimodal.resizeImages(adf, 1, 1).collect()(0).getAs[Array[Byte]](3)
+    val (_, _, tr, tg, tb) = Multimodal.decodeImage(athumb).get
+    // 1x1 thumb = area average of [0, 255] rounded half-up = 128
+    assert((tr, tg, tb) === ((128.0, 128.0, 128.0)))
   }
 
   test("q33 smoke at sf0.001: overlapping south-america pairs count > 0 docs consistently") {
