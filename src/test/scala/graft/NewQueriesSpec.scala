@@ -233,6 +233,28 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((tr, tg, tb) === ((128.0, 128.0, 128.0)))
   }
 
+  test("areaAverage properties: identity at same size; mean preserved within rounding at any scale") {
+    import graft.pipeline.Multimodal
+    val r = new scala.util.Random(4242)
+    (1 to 200).foreach { _ =>
+      val sw = 1 + r.nextInt(24); val sh = 1 + r.nextInt(24)
+      val px = Array.fill(sw * sh)(r.nextInt(1 << 24))
+      // identity: each target pixel covers exactly one source pixel
+      assert(Multimodal.areaAverage(px, sw, sh, sw, sh).toSeq === px.toSeq)
+      // any scale (down, up, or mixed): the area-weighted average is
+      // mean-preserving, so per-channel output mean must sit within the
+      // per-pixel half-up rounding band (±0.5) of the input mean
+      val tw = 1 + r.nextInt(24); val th = 1 + r.nextInt(24)
+      val out = Multimodal.areaAverage(px, sw, sh, tw, th)
+      for (shift <- Seq(16, 8, 0)) {
+        val inMean = px.map(p => (p >> shift) & 0xff).sum.toDouble / px.length
+        val outMean = out.map(p => (p >> shift) & 0xff).sum.toDouble / out.length
+        assert(math.abs(outMean - inMean) <= 0.5 + 1e-9,
+          s"mean drift $inMean -> $outMean at ${sw}x$sh -> ${tw}x$th shift $shift")
+      }
+    }
+  }
+
   test("q33 smoke at sf0.001: overlapping south-america pairs count > 0 docs consistently") {
     val rows = SparkEntry.queries("q33_cover_algebra")(spark, sf).collect()
     assert(rows.length === SparkEntry.regionPairs.length)
