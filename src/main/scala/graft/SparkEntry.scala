@@ -412,6 +412,24 @@ object SparkEntry {
           col("mean_b").cast("long").as("mean_b"))
         .orderBy(col("doc_id"))
     }),
+    "q52_dissolve_geom" -> ((s, dir) => {
+      // dissolve(geom=True) through the hard signal: per doc, a cell at a
+      // doc-varying level; three closed-form unions through the REAL
+      // TrixelUnion kernel (4 children = parent ring; 15-grandchild
+      // annulus = parent shell + bit-exact hole; vertex-touching pair =
+      // 2 components). The invariants are theorems of the subdivision,
+      // so DuckDB mirrors them as constants while Spark computes them
+      // from the actual dissolved WKT.
+      val docs = indexed(s, dir)
+        .withColumn("cell_level", (lit(3) + col("doc_id") % 6).cast("int"))
+        .withColumn("cell", stareClearToDyn(col("sid"), col("cell_level")))
+      docs.select(col("doc_id"), col("cell_level"),
+          dissolveInvariantsUdf(col("cell")).as("inv"))
+        .select(col("doc_id"), col("cell_level"),
+          col("inv._1").as("full_is_parent"), col("inv._2").as("annulus_polys"),
+          col("inv._3").as("hole_is_missing"), col("inv._4").as("pinch_polys"))
+        .orderBy(col("doc_id"))
+    }),
     "q51_image_meta" -> ((s, dir) => {
       // header-only probe (no pixel decode) — the 100 TB first stage:
       // format/dims come from the PNG IHDR via ImageReader.getWidth,
@@ -845,6 +863,31 @@ object SparkEntry {
     s
   })
 
+  /** q52: drive core.TrixelUnion on three closed-form subdivisions of a
+    * cell and report the invariant checks (see the query doc). UDF
+    * justified: per-row geometry construction, no built-in equivalent. */
+  private val dissolveInvariantsUdf = udf((cell: Long) => {
+    import graft.core.{Geo, Htm, Sid, TrixelUnion}
+    def ch(s: Long, i: Int): Long =
+      Sid.intervalLo(s) | (i.toLong * Sid.increment(Sid.level(s) + 1)) | (Sid.level(s) + 1).toLong
+    def corners(s: Long): Set[(Double, Double)] = {
+      val (lats, lons, _, _) = Htm.sidToVertices(s); lons.zip(lats).toSet
+    }
+    def mp(sids: Array[Long]): Array[Geo.PolygonG] =
+      Geo.parseWkt(TrixelUnion.dissolveWkt(sids)).asInstanceOf[Geo.MultiPolygonG].polys
+    val full = mp(Array.tabulate(4)(ch(cell, _)))
+    val fullIsParent = full.length == 1 && full(0).rings.length == 1 &&
+      full(0).rings(0)._1.length == 4 &&
+      full(0).rings(0)._1.zip(full(0).rings(0)._2).toSet == corners(cell)
+    val missing = ch(ch(cell, 3), 3)
+    val ann = mp((for (i <- 0 until 4; j <- 0 until 4) yield ch(ch(cell, i), j))
+      .filterNot(_ == missing).toArray)
+    val holeIsMissing = ann.length == 1 && ann(0).rings.length == 2 &&
+      ann(0).rings(1)._1.zip(ann(0).rings(1)._2).toSet == corners(missing)
+    val pinch = mp(Array(ch(cell, 0), ch(cell, 1)))
+    (fullIsParent, ann.length, holeIsMissing, pinch.length)
+  })
+
   /** Deterministic per-document solid-color PNG (REAL JDK ImageIO
     * encoder; q49/q50's input). Solid color keeps the decoded channel
     * means in closed form for the oracle while every pixel still
@@ -1156,6 +1199,11 @@ object SparkEntry {
         """SELECT doc_id, 5::INTEGER AS width, 4::INTEGER AS height,
           |  (doc_id * 37) % 256 AS mean_r, (doc_id * 59) % 256 AS mean_g,
           |  (doc_id * 83) % 256 AS mean_b
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q52_dissolve_geom" ->
+        """SELECT doc_id, (3 + doc_id % 6)::INTEGER AS cell_level,
+          |  true AS full_is_parent, 1 AS annulus_polys,
+          |  true AS hole_is_missing, 2 AS pinch_polys
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q51_image_meta" ->
         """SELECT doc_id, 'png' AS format, (4 + doc_id % 13)::INTEGER AS width,

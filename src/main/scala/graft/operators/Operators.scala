@@ -30,6 +30,18 @@ object Dissolve {
   /** whole-frame dissolve (by=None in the reference): one global cover. */
   def all(df: DataFrame, sidsCol: String = "sids"): Array[Long] =
     df.agg(DissolveAgg(col(sidsCol)).as("c")).collect()(0).getSeq[Long](0).toArray
+
+  /** dissolve(geom=True) (staredataframe.py:884-886): the grouped SID
+    * union PLUS its exact dissolved geometry as WKT — shared trixel
+    * boundaries removed, holes preserved (core.TrixelUnion replaces the
+    * reference's geopandas/shapely unary_union). Same one-shuffle plan
+    * as the plain dissolve; the union runs post-aggregate, once per
+    * group, on the already-compressed cover. */
+  def withGeom(df: DataFrame, by: String, sidsCol: String = "sids",
+               aggFuncs: Map[String, String] = Map.empty,
+               geomCol: String = "geom"): DataFrame =
+    apply(df, by, sidsCol, aggFuncs)
+      .withColumn(geomCol, StareFunctions.stareDissolveWkt(col(sidsCol)))
 }
 
 /** speedy_subset (spatial_conversions.py:557-600): cheap range pre-filter

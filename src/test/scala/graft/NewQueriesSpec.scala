@@ -255,6 +255,32 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dissolve(geom=True): operator + SQL surface produce the exact union geometry") {
+    import graft.core.{Htm, Sid}
+    import graft.operators.Dissolve
+    val s = spark
+    import s.implicits._
+    // canonical (location-cleared) cell: latLonToSid keeps full-res bits
+    val parent = Sid.intervalLo(Htm.latLonToSid(42, 7, 5)) | 5L
+    def child(i: Int): Long =
+      Sid.intervalLo(parent) | (i.toLong * Sid.increment(6)) | 6L
+    val df = (0 until 4).map(i => ("g1", Array(child(i)))).toDF("g", "sids")
+    val out = Dissolve.withGeom(df, by = "g").collect()
+    assert(out.length === 1)
+    val wkt = out(0).getAs[String]("geom")
+    val ps = graft.core.Geo.parseWkt(wkt).asInstanceOf[graft.core.Geo.MultiPolygonG].polys
+    assert(ps.length === 1 && ps(0).rings.length === 1 && ps(0).rings(0)._1.length === 4)
+    // the dissolved sids column is the compressed cover (= the parent)
+    assert(out(0).getSeq[Long](out(0).fieldIndex("sids")) === Seq(parent))
+    // same through pure SQL
+    graft.functions.StareFunctions.register(spark)
+    df.createOrReplaceTempView("q52_smoke")
+    val sqlWkt = spark.sql(
+      "SELECT stare_dissolve_wkt(sids) AS w FROM (SELECT collect_list(sids[0]) AS sids FROM q52_smoke)")
+      .collect()(0).getString(0)
+    assert(sqlWkt === wkt)
+  }
+
   test("q33 smoke at sf0.001: overlapping south-america pairs count > 0 docs consistently") {
     val rows = SparkEntry.queries("q33_cover_algebra")(spark, sf).collect()
     assert(rows.length === SparkEntry.regionPairs.length)

@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Cover, Geo, Htm, Sid, TrixelUnion}
+
+/** dissolve(geom=True) kernel: exact union of trixel sets by edge
+  * cancellation (core.TrixelUnion). The closed-form fixtures exploit
+  * HTM subdivision structure: the 4 children of any trixel tile it
+  * exactly, the 3 corner children leave the center child as a hole,
+  * and corner children 0/1 touch only at a vertex (two components). */
+class TrixelUnionSpec extends AnyFunSuite {
+
+  private def child(sid: Long, i: Int): Long =
+    Sid.intervalLo(sid) | (i.toLong * Sid.increment(Sid.level(sid) + 1)) | (Sid.level(sid) + 1).toLong
+
+  private def ringSet(ring: (Array[Double], Array[Double])): Set[(Double, Double)] =
+    ring._1.zip(ring._2).toSet // closed ring: dup of first point collapses in the set
+
+  private def cornersSet(sid: Long): Set[(Double, Double)] = {
+    val (lats, lons, _, _) = Htm.sidToVertices(sid)
+    lons.zip(lats).toSet
+  }
+
+  private def polys(wkt: String): Array[Geo.PolygonG] =
+    Geo.parseWkt(wkt).asInstanceOf[Geo.MultiPolygonG].polys
+
+  private def randSids: Seq[Long] = {
+    val r = new scala.util.Random(7)
+    (1 to 40).map { _ =>
+      val lat = r.nextDouble() * 170 - 85
+      val lon = r.nextDouble() * 360 - 180
+      Htm.latLonToSid(lat, lon, 1 + r.nextInt(9))
+    }
+  }
+
+  test("4 children dissolve to exactly the parent triangle (every face, random cells, all levels)") {
+    val cases = (0 until 8).map(f => (f.toLong << 59) | 0L) ++ randSids
+    cases.foreach { parent =>
+      val wkt = TrixelUnion.dissolveWkt(Array.tabulate(4)(child(parent, _)))
+      val ps = polys(wkt)
+      assert(ps.length === 1, s"parent $parent")
+      assert(ps(0).rings.length === 1)
+      // closed ring of the 3 parent corners, bit-exact
+      assert(ps(0).rings(0)._1.length === 4)
+      assert(ringSet(ps(0).rings(0)) === cornersSet(parent))
+    }
+  }
+
+  test("annulus (16 grandchildren minus center-of-center) dissolves to parent shell + exact hole") {
+    (randSids ++ Seq((3L << 59) | 0L)).foreach { parent =>
+      val missing = child(child(parent, 3), 3)
+      val cells = (for (i <- 0 until 4; j <- 0 until 4) yield child(child(parent, i), j))
+        .filterNot(_ == missing).toArray
+      val ps = polys(TrixelUnion.dissolveWkt(cells))
+      assert(ps.length === 1)
+      assert(ps(0).rings.length === 2, s"parent $parent: expected shell+hole")
+      val shell = ps(0).rings(0); val hole = ps(0).rings(1)
+      // shell: exactly the parent triangle (edge midpoints simplified away)
+      assert(shell._1.length === 4)
+      assert(ringSet(shell) === cornersSet(parent))
+      // hole ring == the missing cell's corners, bit-exact, CW (shell CCW)
+      assert(ringSet(hole) === cornersSet(missing))
+      assert(Geo.isCcw(shell._2, shell._1))
+      assert(!Geo.isCcw(hole._2, hole._1))
+    }
+  }
+
+  test("3 corner children (vertex-touching, Sierpinski step) dissolve to 3 polygons, no hole") {
+    randSids.foreach { parent =>
+      val ps = polys(TrixelUnion.dissolveWkt(
+        Array(child(parent, 0), child(parent, 1), child(parent, 2))))
+      assert(ps.length === 3, s"parent $parent")
+      assert(ps.forall(_.rings.length == 1))
+      assert(ps.map(p => ringSet(p.rings(0))).toSet ===
+        (0 until 3).map(i => cornersSet(child(parent, i))).toSet)
+    }
+  }
+
+  test("vertex-touching corner children are separate polygons; disjoint cells too") {
+    randSids.foreach { parent =>
+      // children 0 and 1 share exactly one vertex (the v0-v1 edge midpoint)
+      val ps = polys(TrixelUnion.dissolveWkt(Array(child(parent, 0), child(parent, 1))))
+      assert(ps.length === 2, s"parent $parent")
+      assert(ps.forall(p => p.rings.length == 1 && p.rings(0)._1.length == 4))
+      assert(ps.map(p => ringSet(p.rings(0))).toSet ===
+        Set(cornersSet(child(parent, 0)), cornersSet(child(parent, 1))))
+    }
+    val far = polys(TrixelUnion.dissolveWkt(Array(
+      Htm.latLonToSid(45, 10, 6), Htm.latLonToSid(-45, -170, 6))))
+    assert(far.length === 2)
+  }
+
+  test("mixed levels: a child expanded to its grandchildren dissolves like the child itself") {
+    randSids.foreach { parent =>
+      val c0 = child(parent, 0)
+      val mixed = Array(child(c0, 0), child(c0, 1), child(c0, 2), child(c0, 3),
+        child(parent, 1), child(parent, 2), child(parent, 3))
+      val plain = Array.tabulate(4)(child(parent, _))
+      assert(TrixelUnion.dissolveWkt(mixed) === TrixelUnion.dissolveWkt(plain),
+        s"parent $parent")
+    }
+  }
+
+  test("duplicates and nested cells are harmless; level-spread cap fails loudly") {
+    val parent = Htm.latLonToSid(10, 10, 5)
+    val withNoise = Array.tabulate(4)(child(parent, _)) ++
+      Array(child(parent, 0), child(child(parent, 2), 1)) // dup + nested
+    assert(TrixelUnion.dissolveWkt(withNoise) ===
+      TrixelUnion.dissolveWkt(Array.tabulate(4)(child(parent, _))))
+    val wide = Array(Htm.latLonToSid(10, 10, 0), Htm.latLonToSid(-60, 100, 27))
+    val e = intercept[IllegalArgumentException](TrixelUnion.dissolveWkt(wide))
+    assert(e.getMessage.contains("cap"))
+  }
+
+  test("box-cover dissolve: rings closed, shells CCW, every input cell covered (spot containment)") {
+    val cover = Cover.coverFromBox(5, 15, 40, 50, 6)
+    val ps = polys(TrixelUnion.dissolveWkt(cover))
+    assert(ps.nonEmpty)
+    ps.foreach { p =>
+      p.rings.zipWithIndex.foreach { case ((lons, lats), i) =>
+        assert(lons.head === lons.last && lats.head === lats.last) // closed
+        assert(Geo.isCcw(lats, lons) === (i == 0)) // shell CCW, holes CW
+      }
+    }
+    // boundary vertex count conservation: every surviving directed edge is
+    // used exactly once across all rings
+    val expanded = Sid.expandToLevel(cover, cover.map(Sid.level).max).distinct
+    val totalRingEdges = ps.map(_.rings.map(_._1.length - 1).sum).sum
+    assert(totalRingEdges <= 3 * expanded.length)
+  }
+}
