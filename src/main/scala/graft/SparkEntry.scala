@@ -868,22 +868,29 @@ object SparkEntry {
     * justified: per-row geometry construction, no built-in equivalent. */
   private val dissolveInvariantsUdf = udf((cell: Long) => {
     import graft.core.{Geo, Htm, Sid, TrixelUnion}
-    def ch(s: Long, i: Int): Long =
-      Sid.intervalLo(s) | (i.toLong * Sid.increment(Sid.level(s) + 1)) | (Sid.level(s) + 1).toLong
-    def corners(s: Long): Set[(Double, Double)] = {
-      val (lats, lons, _, _) = Htm.sidToVertices(s); lons.zip(lats).toSet
+    def ch(s: Long, i: Int): Long = Sid.child(s, i)
+    // wrapped 1e-9-deg keys: seam-crossing polygons emit [0,360) lons
+    def key(lon: Double, lat: Double): (Long, Long) = {
+      val l = if (lon > 180) lon - 360 else lon
+      (math.rint(l * 1e9).toLong, math.rint(lat * 1e9).toLong)
     }
+    def corners(s: Long): Set[(Long, Long)] = {
+      val (lats, lons, _, _) = Htm.sidToVertices(s)
+      lons.zip(lats).map { case (lo, la) => key(lo, la) }.toSet
+    }
+    def ringKeys(r: (Array[Double], Array[Double])): Set[(Long, Long)] =
+      r._1.zip(r._2).map { case (lo, la) => key(lo, la) }.toSet
     def mp(sids: Array[Long]): Array[Geo.PolygonG] =
       Geo.parseWkt(TrixelUnion.dissolveWkt(sids)).asInstanceOf[Geo.MultiPolygonG].polys
     val full = mp(Array.tabulate(4)(ch(cell, _)))
     val fullIsParent = full.length == 1 && full(0).rings.length == 1 &&
       full(0).rings(0)._1.length == 4 &&
-      full(0).rings(0)._1.zip(full(0).rings(0)._2).toSet == corners(cell)
+      ringKeys(full(0).rings(0)) == corners(cell)
     val missing = ch(ch(cell, 3), 3)
     val ann = mp((for (i <- 0 until 4; j <- 0 until 4) yield ch(ch(cell, i), j))
       .filterNot(_ == missing).toArray)
     val holeIsMissing = ann.length == 1 && ann(0).rings.length == 2 &&
-      ann(0).rings(1)._1.zip(ann(0).rings(1)._2).toSet == corners(missing)
+      ringKeys(ann(0).rings(1)) == corners(missing)
     val pinch = mp(Array(ch(cell, 0), ch(cell, 1)))
     (fullIsParent, ann.length, holeIsMissing, pinch.length)
   })

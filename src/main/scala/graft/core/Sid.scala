@@ -67,6 +67,14 @@ object Sid {
     (sid & clearMask(l - 1)) | (l - 1)
   }
 
+  /** i-th child (0..3) at level+1 (canonical location + level stamped). */
+  def child(sid: Long, i: Int): Long = {
+    val l = level(sid)
+    require(i >= 0 && i < 4, s"child index $i")
+    require(l < 27, s"level-27 sid has no children: $sid")
+    intervalLo(sid) | (i.toLong * increment(l + 1)) | (l + 1).toLong
+  }
+
   def hex(sid: Long): String = f"0x$sid%016x"
 
   /** Sort + dedup + canonical multi-resolution compression.

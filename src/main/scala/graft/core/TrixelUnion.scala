@@ -30,9 +30,14 @@ import scala.collection.mutable
   * the exact normalized midpoint of its neighbors, so vertices with
   * v == mid(prev, next) (bitwise) are removed to a fixpoint — the 4
   * children of a trixel dissolve to exactly its 3-corner ring.
-  * Caveat (documented): ring orientation is judged from the ring's own
+  * Caveats (documented): ring orientation is judged from the ring's own
   * centroid, so a single ring enclosing more than a hemisphere would
   * misclassify — covers are regional; out of scope like the reference.
+  * Antimeridian-crossing polygons are emitted with lons shifted to
+  * [0,360) so planar consumers read them correctly (shifted values
+  * carry ≤1 ulp of +360 rounding); a near-global polygon crossing both
+  * ±180 and 0 keeps wrapped lons — the same planar-WKT limitation the
+  * reference's geopandas union has.
   */
 object TrixelUnion {
 
@@ -47,12 +52,16 @@ object TrixelUnion {
     require(sidsIn.nonEmpty, "dissolveWkt: empty sid set")
     // uniform level; dedup kills duplicates AND nested finer cells
     // (their expansion collides with the coarser cell's)
-    val maxLvl = { var m = 0; sidsIn.foreach(s => m = math.max(m, Sid.level(s))); m }
+    // canonicalize + dedup BEFORE the cap estimate: repeated coarse sids
+    // must not spuriously trip it (nested finer-in-coarser still
+    // overcounts, which only errs conservative)
+    val canon = sidsIn.map(s => Sid.intervalLo(s) | Sid.level(s).toLong).distinct
+    val maxLvl = { var m = 0; canon.foreach(s => m = math.max(m, Sid.level(s))); m }
     var est = 0L
-    sidsIn.foreach { s => est += (1L << (2 * (maxLvl - Sid.level(s)))); }
+    canon.foreach { s => est += (1L << (2 * (maxLvl - Sid.level(s)))); }
     require(est <= MaxTriangles,
       s"dissolve would expand to $est triangles (cap $MaxTriangles): level spread too wide")
-    val cells = Sid.expandToLevel(sidsIn, maxLvl).distinct
+    val cells = Sid.expandToLevel(canon, maxLvl).distinct
 
     // intern vertices by exact bits; union-find over CELLS via shared edges
     val vIdx = new mutable.HashMap[(Long, Long, Long), Int]
@@ -92,13 +101,12 @@ object TrixelUnion {
       ci += 1
     }
 
-    // stitch rings per component (start-vertex -> edges, component-local
-    // so vertex-pinched components never cross-walk)
-    val byComp = new mutable.HashMap[Int, mutable.HashMap[Int, mutable.ArrayDeque[Int]]]
+    // collect boundary edges per component (vertex-pinched components
+    // never cross-walk: rings are stitched per component)
+    val byComp = new mutable.HashMap[Int, mutable.ArrayBuffer[(Int, Int)]]
     boundary.forEach { (e, cell) =>
       val a = (e.longValue() >> 32).toInt; val b = e.longValue().toInt
-      byComp.getOrElseUpdate(find(cell), new mutable.HashMap)
-        .getOrElseUpdate(a, new mutable.ArrayDeque).append(b)
+      byComp.getOrElseUpdate(find(cell), new mutable.ArrayBuffer) += ((a, b))
     }
 
     // drop vertices sitting exactly mid-arc between their neighbors
@@ -151,19 +159,65 @@ object TrixelUnion {
       (lats, lons)
     }
 
-    val polys = byComp.valuesIterator.map { out =>
+    // ring stitching: walk EDGES, not vertices. At a branch vertex (a
+    // hole touching its shell, or two lobes of one component pinched at
+    // a point — in/out degree 2) the continuation of edge u→v is the
+    // outgoing edge at the MINIMAL COUNTERclockwise rotation (viewed
+    // from outside the sphere) from the reversed incoming direction.
+    // This is deliberately the OPPOSITE of the face-traversal pairing:
+    // the face rule would follow the interior sector across the pinch
+    // and emit one topologically-correct but self-touching figure-eight
+    // ring, while OGC polygons want shell and hole as SEPARATE rings
+    // touching at the point. Cross-component candidates can't appear —
+    // stitching is per edge-connected component. Either pairing is a
+    // bijection, so rings are exactly the successor map's cycles — a
+    // vertex-based walk would splice rings nondeterministically by
+    // hash order.
+    def nextEdge(edges: mutable.ArrayBuffer[(Int, Int)],
+                 outAt: mutable.HashMap[Int, mutable.ArrayBuffer[Int]], e: Int): Int = {
+      val (u, v) = edges(e)
+      val cands = outAt(v)
+      if (cands.length == 1) cands(0)
+      else {
+        val nv = vXyz(v)
+        def tangent(w: Int): Array[Double] = {
+          val p = vXyz(w)
+          val d = p(0) * nv(0) + p(1) * nv(1) + p(2) * nv(2)
+          Array(p(0) - d * nv(0), p(1) - d * nv(1), p(2) - d * nv(2))
+        }
+        val rev = tangent(u) // direction back toward u
+        def ccwAngle(cand: Int): Double = {
+          val t = tangent(edges(cand)._2)
+          val crossN = (rev(1) * t(2) - rev(2) * t(1)) * nv(0) +
+            (rev(2) * t(0) - rev(0) * t(2)) * nv(1) +
+            (rev(0) * t(1) - rev(1) * t(0)) * nv(2)
+          val d = rev(0) * t(0) + rev(1) * t(1) + rev(2) * t(2)
+          val a = math.atan2(crossN, d) // (-pi, pi]
+          val ccw = if (a <= 0) a + 2 * math.Pi else a // ccw turn from rev
+          if (ccw == 0) 2 * math.Pi else ccw
+        }
+        cands.minBy(ccwAngle)
+      }
+    }
+
+    val polys = byComp.valuesIterator.map { edges =>
+      val outAt = new mutable.HashMap[Int, mutable.ArrayBuffer[Int]]
+      edges.indices.foreach { i =>
+        outAt.getOrElseUpdate(edges(i)._1, new mutable.ArrayBuffer) += i
+      }
+      val visited = new Array[Boolean](edges.length)
       val rings = new mutable.ArrayBuffer[Seq[Int]]
-      while (out.nonEmpty) {
-        val start = out.keysIterator.next()
-        val ring = new mutable.ArrayBuffer[Int]
-        var cur = start
-        do {
-          ring += cur
-          val nexts = out(cur)
-          cur = nexts.removeHead()
-          if (nexts.isEmpty) out.remove(ring.last)
-        } while (cur != start)
-        rings += simplify(ring.toSeq)
+      edges.indices.foreach { e0 =>
+        if (!visited(e0)) {
+          val ring = new mutable.ArrayBuffer[Int]
+          var cur = e0
+          do {
+            visited(cur) = true
+            ring += edges(cur)._1
+            cur = nextEdge(edges, outAt, cur)
+          } while (cur != e0)
+          rings += simplify(ring.toSeq)
+        }
       }
       val (shells, holes) = rings.partition { r =>
         val (lats, lons) = ringLatLon(r); Geo.isCcw(lats, lons)
@@ -173,13 +227,28 @@ object TrixelUnion {
       (shells.head, holes.toSeq)
     }.toSeq
 
-    def ringWkt(r: Seq[Int]): String = {
-      val (lats, lons) = ringLatLon(r)
+    // antimeridian: a seam-crossing ring (consecutive wrapped lons jump
+    // by >180°) reads as a ~360°-wide polygon to a planar WKT consumer.
+    // Per polygon: if any ring crosses ±180 but none would cross 0, emit
+    // the whole polygon with negative lons shifted +360 (values land in
+    // [0,360) and deltas stay small). A polygon spanning both seams
+    // (near-global) keeps the wrapped form — documented caveat, same
+    // planar limitation as the reference's geopandas union.
+    def crossesSeam(lons: Array[Double]): Boolean =
+      lons.indices.exists(i => math.abs(lons((i + 1) % lons.length) - lons(i)) > 180)
+    def ringWkt(r: Seq[Int], shift: Boolean): String = {
+      val (lats, lons0) = ringLatLon(r)
+      val lons = if (shift) lons0.map(lo => if (lo < 0) lo + 360 else lo) else lons0
       val pts = (r.indices :+ 0).map(i => s"${lons(i)} ${lats(i)}").mkString(", ")
       s"($pts)"
     }
     polys.map { case (shell, holes) =>
-      (ringWkt(shell) +: holes.map(ringWkt)).mkString("(", ", ", ")")
+      val allRings = shell +: holes
+      val shift = allRings.exists(r => crossesSeam(ringLatLon(r)._2)) &&
+        allRings.forall { r =>
+          !crossesSeam(ringLatLon(r)._2.map(lo => if (lo < 0) lo + 360 else lo))
+        }
+      (ringWkt(shell, shift) +: holes.map(ringWkt(_, shift))).mkString("(", ", ", ")")
     }.mkString("MULTIPOLYGON (", ", ", ")")
   }
 }

@@ -98,7 +98,10 @@ object StareFunctions {
   def stareTrixelWkt(sids: Column): Column = trixelWktUdf(sids)
 
   private val dissolveWktUdf = udf((sids: Seq[Long]) =>
-    graft.core.TrixelUnion.dissolveWkt(sids.toArray))
+    // empty/null cover -> null geometry (the reference's unary_union of
+    // nothing is an empty geometry, not a job abort)
+    if (sids == null || sids.isEmpty) null
+    else graft.core.TrixelUnion.dissolveWkt(sids.toArray))
   /** dissolve(geom=True): exact geometry UNION of the trixel set — shared
     * boundaries removed, holes preserved (core.TrixelUnion; closes the
     * reference's geopandas-delegated staredataframe.py:884-886). UDF

@@ -262,8 +262,7 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     // canonical (location-cleared) cell: latLonToSid keeps full-res bits
     val parent = Sid.intervalLo(Htm.latLonToSid(42, 7, 5)) | 5L
-    def child(i: Int): Long =
-      Sid.intervalLo(parent) | (i.toLong * Sid.increment(6)) | 6L
+    def child(i: Int): Long = Sid.child(parent, i)
     val df = (0 until 4).map(i => ("g1", Array(child(i)))).toDF("g", "sids")
     val out = Dissolve.withGeom(df, by = "g").collect()
     assert(out.length === 1)
@@ -279,6 +278,10 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT stare_dissolve_wkt(sids) AS w FROM (SELECT collect_list(sids[0]) AS sids FROM q52_smoke)")
       .collect()(0).getString(0)
     assert(sqlWkt === wkt)
+    // empty cover -> null geometry, not a job abort
+    val empty = Seq(("g2", Array.empty[Long])).toDF("g", "sids")
+    val er = Dissolve.withGeom(empty, by = "g").collect()
+    assert(er.length === 1 && er(0).isNullAt(er(0).fieldIndex("geom")))
   }
 
   test("q33 smoke at sf0.001: overlapping south-america pairs count > 0 docs consistently") {

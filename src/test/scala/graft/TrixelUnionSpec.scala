@@ -10,15 +10,22 @@ import graft.core.{Cover, Geo, Htm, Sid, TrixelUnion}
   * and corner children 0/1 touch only at a vertex (two components). */
 class TrixelUnionSpec extends AnyFunSuite {
 
-  private def child(sid: Long, i: Int): Long =
-    Sid.intervalLo(sid) | (i.toLong * Sid.increment(Sid.level(sid) + 1)) | (Sid.level(sid) + 1).toLong
+  private def child(sid: Long, i: Int): Long = Sid.child(sid, i)
 
-  private def ringSet(ring: (Array[Double], Array[Double])): Set[(Double, Double)] =
-    ring._1.zip(ring._2).toSet // closed ring: dup of first point collapses in the set
+  // compare vertex sets on a wrapped, 1e-9-deg-rounded key: seam-crossing
+  // polygons are emitted with lons shifted to [0,360) (±1 ulp of +360),
+  // so raw bit equality would fail across the representation change
+  private def key(lon: Double, lat: Double): (Long, Long) = {
+    val l = if (lon > 180) lon - 360 else lon
+    (math.rint(l * 1e9).toLong, math.rint(lat * 1e9).toLong)
+  }
 
-  private def cornersSet(sid: Long): Set[(Double, Double)] = {
+  private def ringSet(ring: (Array[Double], Array[Double])): Set[(Long, Long)] =
+    ring._1.zip(ring._2).map { case (lo, la) => key(lo, la) }.toSet
+
+  private def cornersSet(sid: Long): Set[(Long, Long)] = {
     val (lats, lons, _, _) = Htm.sidToVertices(sid)
-    lons.zip(lats).toSet
+    lons.zip(lats).map { case (lo, la) => key(lo, la) }.toSet
   }
 
   private def polys(wkt: String): Array[Geo.PolygonG] =
@@ -63,6 +70,48 @@ class TrixelUnionSpec extends AnyFunSuite {
       assert(Geo.isCcw(shell._2, shell._1))
       assert(!Geo.isCcw(hole._2, hole._1))
     }
+  }
+
+  test("pinch regression: a hole touching the shell at a vertex stays a separate ring") {
+    // removing a CORNER grandchild of the center child leaves a hole one
+    // of whose vertices lies ON the outer shell — at that degree-2
+    // branch vertex the edge walk must pair continuations by rotation,
+    // not hash order (the old vertex-based walk spliced shell and hole
+    // into one self-touching 8-vertex ring for i=0 on some hash orders)
+    for (parent <- randSids.take(12); i <- 0 until 3) {
+      val missing = child(child(parent, 3), i)
+      val cells = (for (a <- 0 until 4; b <- 0 until 4) yield child(child(parent, a), b))
+        .filterNot(_ == missing).toArray
+      val ps = polys(TrixelUnion.dissolveWkt(cells))
+      assert(ps.length === 1, s"parent $parent missing child $i")
+      assert(ps(0).rings.length === 2, s"parent $parent missing child $i: expected shell+hole")
+      assert(ringSet(ps(0).rings(0)) === cornersSet(parent))
+      assert(ringSet(ps(0).rings(1)) === cornersSet(missing))
+    }
+  }
+
+  test("antimeridian: seam-crossing dissolve emits planar-readable lons (no >180 jumps)") {
+    val seamCell = Sid.intervalLo(Htm.latLonToSid(10, 179.9, 6)) | 6L
+    val wkt = TrixelUnion.dissolveWkt(Array.tabulate(4)(child(seamCell, _)))
+    val ps = polys(wkt)
+    assert(ps.length === 1)
+    val lons = ps(0).rings(0)._1
+    lons.indices.foreach { i =>
+      assert(math.abs(lons((i + 1) % lons.length) - lons(i)) <= 180,
+        s"seam jump in $wkt")
+    }
+    // and a far-from-seam dissolve keeps plain (-180,180] lons
+    val mid = Sid.intervalLo(Htm.latLonToSid(10, 5, 6)) | 6L
+    val lons2 = polys(TrixelUnion.dissolveWkt(Array.tabulate(4)(child(mid, _)))).head.rings(0)._1
+    assert(lons2.forall(lo => lo >= -180 && lo <= 180))
+  }
+
+  test("cap estimate is computed after dedup (repeated coarse cells do not trip it)") {
+    val parent = Sid.intervalLo(Htm.latLonToSid(10, 10, 5)) | 5L
+    val repeated = Array.fill(5000)(child(parent, 0)) ++ Array.tabulate(4)(child(parent, _)) ++
+      Array(Htm.latLonToSid(10.001, 10.001, 10)) // level spread 5..10, est well under cap
+    val ps = polys(TrixelUnion.dissolveWkt(repeated))
+    assert(ps.nonEmpty)
   }
 
   test("3 corner children (vertex-touching, Sierpinski step) dissolve to 3 polygons, no hole") {
