@@ -228,4 +228,58 @@ object Geo {
     val west = (west0._1.map(l => l - 360), west0._2)
     Array(east, west).filter(_._1.length >= 3)
   }
+
+  /** Signed spherical area (unit sphere) of a simple geodesic-edged ring
+    * via Gauss–Bonnet: area = 2π − Σ exterior turning angles. A CCW ring
+    * (interior left, viewed from outside) yields the area of its
+    * enclosed region in (0, 4π); a CW ring yields 4π minus the enclosed
+    * area (the left region is the complement) — so a polygon with holes
+    * is `ringArea(shell) + Σ(ringArea(hole) − 4π)`. Rings may be open or
+    * closed (first == last). */
+  def sphericalRingArea(lats: Array[Double], lons: Array[Double]): Double = {
+    val closed = lats.length > 1 && lats(0) == lats(lats.length - 1) &&
+      lons(0) == lons(lons.length - 1)
+    val n = if (closed) lats.length - 1 else lats.length
+    require(n >= 3, s"ring needs >=3 distinct vertices, got $n")
+    val vs = Array.tabulate(n)(i => Htm.latLonToXyz(lats(i), lons(i)))
+    @inline def tangent(from: Array[Double], to: Array[Double]): Array[Double] = {
+      val d = to(0) * from(0) + to(1) * from(1) + to(2) * from(2)
+      val x = to(0) - d * from(0); val y = to(1) - d * from(1); val z = to(2) - d * from(2)
+      val m = math.sqrt(x * x + y * y + z * z)
+      Array(x / m, y / m, z / m)
+    }
+    var turning = 0.0
+    var i = 0
+    while (i < n) {
+      val a = vs((i + n - 1) % n); val b = vs(i); val c = vs((i + 1) % n)
+      val tIn = tangent(b, a) // points back toward a; arrival direction = -tIn
+      val tOut = tangent(b, c)
+      val cx = -(tIn(1) * tOut(2) - tIn(2) * tOut(1))
+      val cy = -(tIn(2) * tOut(0) - tIn(0) * tOut(2))
+      val cz = -(tIn(0) * tOut(1) - tIn(1) * tOut(0))
+      val cross = cx * b(0) + cy * b(1) + cz * b(2)
+      val d = -(tIn(0) * tOut(0) + tIn(1) * tOut(1) + tIn(2) * tOut(2))
+      turning += math.atan2(cross, d)
+      i += 1
+    }
+    val area = 2 * math.Pi - turning
+    // map into [0, 4π): a CW ring's raw value can exceed 4π by fp noise
+    if (area < 0) area + 4 * math.Pi else if (area >= 4 * math.Pi) area - 4 * math.Pi else area
+  }
+
+  /** Total spherical area of a parsed (multi)polygon WKT: shells add,
+    * holes subtract (see `sphericalRingArea` sign convention). */
+  def sphericalWktArea(wkt: String): Double = {
+    val polys = parseWkt(wkt) match {
+      case MultiPolygonG(ps) => ps
+      case p: PolygonG => Array(p)
+      case g => sys.error(s"not a polygon: $g")
+    }
+    polys.map { p =>
+      val shell = sphericalRingArea(p.rings(0)._2, p.rings(0)._1)
+      val holes = p.rings.drop(1)
+        .map(r => 4 * math.Pi - sphericalRingArea(r._2, r._1)).sum
+      shell - holes
+    }.sum
+  }
 }

@@ -109,6 +109,13 @@ object StareFunctions {
     * array, no built-in equivalent. */
   def stareDissolveWkt(sids: Column): Column = dissolveWktUdf(sids)
 
+  private val wktAreaUdf = udf((wkt: String) =>
+    Option(wkt).map(graft.core.Geo.sphericalWktArea))
+  /** Gauss–Bonnet spherical area (steradians, unit sphere) of a
+    * geodesic-edged (multi)polygon WKT — shells add, holes subtract.
+    * Cross-validated against per-trixel L'Huilier sums (TrixelUnionSpec). */
+  def stareWktArea(wkt: Column): Column = wktAreaUdf(wkt)
+
   private val centerUdf = udf((sid: Long) => { val (lat, lon) = Htm.sidToCenter(sid); Array(lon, lat) })
   /** [lon, lat] of the trixel center. */
   def stareCenter(sid: Column): Column = centerUdf(sid)
@@ -273,6 +280,7 @@ object StareFunctions {
       ("stare_corners_ecef", 1, c(cs => cornersEcefUdf(long(cs(0))))),
       ("stare_trixel_wkt", 1, c(cs => trixelWktUdf(cs(0)))),
       ("stare_dissolve_wkt", 1, c(cs => dissolveWktUdf(cs(0)))),
+      ("stare_wkt_area", 1, c(cs => wktAreaUdf(cs(0)))),
       ("stare_tiv", 3, c(cs => tivMillisUdf(long(cs(0)), int(cs(1)), int(cs(2))))),
       ("stare_tiv_range", 2, c(cs => tivIntervalUdf(long(cs(0)), long(cs(1))))),
       // driver-prepared cover predicate: the cover argument must be a

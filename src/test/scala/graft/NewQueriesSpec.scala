@@ -282,6 +282,10 @@ class NewQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val empty = Seq(("g2", Array.empty[Long])).toDF("g", "sids")
     val er = Dissolve.withGeom(empty, by = "g").collect()
     assert(er.length === 1 && er(0).isNullAt(er(0).fieldIndex("geom")))
+    // SQL area of the dissolved union == sum of trixel areas (steradians)
+    val sqlArea = spark.sql(s"SELECT stare_wkt_area('$wkt')").collect()(0).getDouble(0)
+    val direct = (0 until 4).map(i => Htm.area(child(i))).sum
+    assert(math.abs(sqlArea - direct) <= 1e-9 * direct)
   }
 
   test("q33 smoke at sf0.001: overlapping south-america pairs count > 0 docs consistently") {

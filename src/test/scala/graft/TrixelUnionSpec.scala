@@ -161,6 +161,33 @@ class TrixelUnionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cap"))
   }
 
+  test("global cross-validation: Gauss-Bonnet area of stitched rings == sum of trixel areas") {
+    // two fully independent computations must agree: per-cell L'Huilier
+    // excess summed over the (disjoint) cover vs the turning-angle area
+    // of the dissolved polygon's stitched rings (holes subtracted)
+    val boxes = Seq((5.0, 15.0, 40.0, 50.0, 6), (-60.0, -40.0, -30.0, -10.0, 5),
+      (100.0, 140.0, 10.0, 35.0, 4), (170.0, 185.0, -20.0, 5.0, 5))
+    boxes.foreach { case (lo1, lo2, la1, la2, lvl) =>
+      val cover = Cover.coverFromBox(lo1, lo2, la1, la2, lvl)
+      val direct = cover.map(Htm.area(_)).sum
+      val stitched = Geo.sphericalWktArea(TrixelUnion.dissolveWkt(cover))
+      assert(math.abs(stitched - direct) <= 1e-9 * direct,
+        s"box $lo1..$lo2/$la1..$la2@$lvl: $stitched vs $direct")
+    }
+    // with a hole: 15 grandchildren = 15/16 of the parent by symmetry-free sum
+    val parent = Sid.intervalLo(Htm.latLonToSid(20, 30, 4)) | 4L
+    val missing = child(child(parent, 3), 3)
+    val cells = (for (i <- 0 until 4; j <- 0 until 4) yield child(child(parent, i), j))
+      .filterNot(_ == missing).toArray
+    val direct = cells.map(Htm.area(_)).sum
+    val stitched = Geo.sphericalWktArea(TrixelUnion.dissolveWkt(cells))
+    assert(math.abs(stitched - direct) <= 1e-9 * direct)
+    // and the Sierpinski 3-component case
+    val tri = (0 until 3).map(child(parent, _)).toArray
+    assert(math.abs(Geo.sphericalWktArea(TrixelUnion.dissolveWkt(tri)) -
+      tri.map(Htm.area(_)).sum) <= 1e-9 * tri.map(Htm.area(_)).sum)
+  }
+
   test("box-cover dissolve: rings closed, shells CCW, every input cell covered (spot containment)") {
     val cover = Cover.coverFromBox(5, 15, 40, 50, 6)
     val ps = polys(TrixelUnion.dissolveWkt(cover))
