@@ -83,6 +83,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(ce.getSeq[Long](1).nonEmpty)
       assert(!ce.getBoolean(2))
 
+      // dissolved geometry + its Gauss-Bonnet area through the config-
+      // string path: union of a cell's 4 children == the cell, and the
+      // WKT's spherical area matches stare_area
+      val dg = spark.sql(
+        s"""SELECT stare_wkt_area(stare_dissolve_wkt(stare_expand(array(${cell}L), 9))),
+           |  stare_area(${cell}L)""".stripMargin).collect()(0)
+      assert(math.abs(dg.getDouble(0) - dg.getDouble(1)) <= 1e-8 * dg.getDouble(1) + 1e-12)
+
       // --- the q21/q24 shape end-to-end in pure SQL: geotag -> encode ->
       // cover join (prefix equi-join on stare_clear_to) -> exact refine ---
       val sfDir = "/root/testdata/sf0.001"
