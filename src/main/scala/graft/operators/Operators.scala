@@ -36,7 +36,14 @@ object Dissolve {
     * boundaries removed, holes preserved (core.TrixelUnion replaces the
     * reference's geopandas/shapely unary_union). Same one-shuffle plan
     * as the plain dissolve; the union runs post-aggregate, once per
-    * group, on the already-compressed cover. */
+    * group, on the already-compressed cover.
+    *
+    * Divergence note (ADVICE r5): the geometry here is the exact union
+    * of the group's TRIXELS (the sid cover), whereas the reference
+    * unions the frame's stored geometry column via geopandas — when
+    * stored geometries are not trixel-aligned, this output is the
+    * covering trixel approximation of them, not their shape union
+    * (see core.TrixelUnion scaladoc). */
   def withGeom(df: DataFrame, by: String, sidsCol: String = "sids",
                aggFuncs: Map[String, String] = Map.empty,
                geomCol: String = "geom"): DataFrame =
@@ -114,11 +121,14 @@ object KnnJoin {
     val rSid = rightSid + "_nn"; val rId = rightId + "_nn"
     val rLat = rightLat + "_nn"; val rLon = rightLon + "_nn"
 
-    // ring levels across ALL rounds — the right side is keyed once
-    val levels = (0 until maxRounds).map(r => math.max(2, coverLevel - r)).distinct.sorted.toArray
-    val rightKeys = rightKeyed.withColumn("__rk", explode(
-      filter(array(levels.map(l => when(stareLevel(col(rSid)) >= l, stareClearTo(col(rSid), l))): _*),
-        c => c.isNotNull))).persist()
+    // The right side is persisted ONCE un-exploded (r6, guide §2.3):
+    // each round derives its single-level join key as a narrow
+    // expression on the join condition itself — the previous shape
+    // exploded every row into one key per candidate round level (4x
+    // the cached bytes and join input for rounds that, in the common
+    // all-done-in-round-0 case, never run). The per-row level guard
+    // keeps coarser-than-level right sids keyless (null never equi-matches).
+    val rightKeys = rightKeyed.persist()
 
     // Loop control is a per-round driver-side count of still-incomplete
     // queries: almost all queries complete in the first round or two, so
@@ -144,6 +154,7 @@ object KnnJoin {
     var diameter = initialDiameterDeg
     var round = 0
     var sphereCovered = false
+    var lastRoundMaterialized = false
     val distCol = haversineRad(col(leftLat), col(leftLon), col(rLat), col(rLon))
     while (round < maxRounds && !sphereCovered && remainingCount != 0) {
       // keep the per-query cover at ~constant cell count: each doubling
@@ -154,8 +165,9 @@ object KnnJoin {
       val capDeg = math.min(diameter, 360.0)
       val cov = StareFunctions.stareExpand(
         StareFunctions.stareCircularCover(col(leftSid), lit(capDeg), lvl), lvl)
+      val rk = when(stareLevel(col(rSid)) >= lvl, stareClearTo(col(rSid), lvl))
       val candidates = remaining.withColumn("__lk", explode(cov))
-        .join(rightKeys, col("__lk") === col("__rk")).drop("__lk", "__rk")
+        .join(rightKeys, col("__lk") === rk).drop("__lk")
         .withColumn("dist_rad", distCol)
         .withColumn("nn_rank", row_number().over(
           Window.partitionBy(col(leftId)).orderBy(col("dist_rad"), col(rId))))
@@ -179,20 +191,21 @@ object KnnJoin {
         ).persist()
       persisted += complete
       results = complete :: results
+      lastRoundMaterialized = false
       if (!isLast && !sphereCovered) {
         val done = complete.select(col(leftId)).distinct()
         val next = remaining.join(done, Seq(leftId), "left_anti").persist()
         persisted += next
-        remainingCount = next.count()
+        remainingCount = next.count() // also fully materializes `complete`
         remaining = next
+        lastRoundMaterialized = true
       }
       diameter *= 2
       round += 1
     }
     val out = results match {
       case Nil => // empty left input: return an empty, correctly-shaped frame
-        remaining.withColumn("__lk", lit(0L))
-          .join(rightKeys, col("__lk") === col("__rk")).drop("__lk", "__rk")
+        remaining.join(rightKeys, lit(false))
           .withColumn("dist_rad", lit(0.0)).withColumn("nn_rank", lit(1))
           .filter(lit(false))
       case rs => rs.reduce(_ unionByName _)
@@ -200,10 +213,14 @@ object KnnJoin {
     // materialize once, then release every intermediate cache: without
     // this, consuming the returned plan would re-execute each round's
     // candidate join through the chained anti-joins (and the persisted
-    // frames would pressure the executor cache across queries).
-    val result = out.persist()
-    result.count()
-    persisted.foreach(_.unpersist(false))
+    // frames would pressure the executor cache across queries). The
+    // common all-done-in-round-0 case (r6): that round's frame is
+    // already persisted AND materialized by the remainder count — a
+    // second persist+count pass over it bought nothing.
+    val result =
+      if (results.lengthCompare(1) == 0 && lastRoundMaterialized) results.head
+      else { val r = out.persist(); r.count(); r }
+    persisted.filterNot(_ eq result).foreach(_.unpersist(false))
     result
   }
 }

@@ -370,6 +370,44 @@ object Skew {
           if (Sid.level(c) < target) Sid.expandToLevel(Array(c), target) else Array(c))
         rightKeyed.withColumn("__rk", explode(rebase(col("__rk"))))
       }
+    // ---- join-strategy choice (r6, guide §3.1): the keyed right side
+    // is (rid, key) pairs whose EXACT row count we already hold
+    // (levelHist + the rebase expansion), but its lineage passes
+    // through withStableId's RDD round trip, which erases size stats —
+    // Catalyst then plans EVERY join here as a sort-merge join, even
+    // for an 8-row cover table (measured: 7 SMJs in the q43 plan), and
+    // at bench scale the 24M-row point side pays a full sort. Decide
+    // deliberately from the known count: broadcast when the keyed side
+    // fits the session's broadcast threshold (the left side is then
+    // never shuffled at all); otherwise force a shuffled-hash join
+    // (build = the small keyed side) so the big side streams instead
+    // of sorting; fall back to sort-merge only when the per-partition
+    // build could be large (conf spark.graft.join.shjMaxBuildBytesPerPartition).
+    val keyedRightRows: Long =
+      if (!rebased) levelHist.valuesIterator.sum
+      else rebaseCost + levelHist.iterator.collect { case (l, n) if l >= target => n }.sum
+    val estKeyedBytes = keyedRightRows * 32L // (rid, key) pair, Catalyst-order sizing
+    val bcastThreshold = {
+      val raw = left.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+      try { if (raw.startsWith("-")) -1L
+            else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw) }
+      catch { case _: Exception => 10485760L }
+    }
+    val shufflePartitions =
+      try left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      catch { case _: Exception => 200 }
+    val shjBuildCap = {
+      val raw = left.sparkSession.conf
+        .get("spark.graft.join.shjMaxBuildBytesPerPartition", (64L * 1024 * 1024).toString)
+      try raw.toLong catch { case _: Exception => 64L * 1024 * 1024 }
+    }
+    val rightForKeyJoin =
+      if (bcastThreshold > 0 && estKeyedBytes <= bcastThreshold)
+        org.apache.spark.sql.functions.broadcast(rightKeyedFinal)
+      else if (estKeyedBytes / math.max(1, shufflePartitions) <= shjBuildCap)
+        rightKeyedFinal.hint("shuffle_hash")
+      else rightKeyedFinal // sort-merge: spills gracefully for huge covers
     // base levels probed unconditionally; split-child levels already in
     // the base set are matched by the base key (no gated duplicate — a
     // duplicate key value would double pairs); levels introduced ONLY
@@ -399,11 +437,11 @@ object Skew {
     }
     def keyedLeft(l: DataFrame): DataFrame =
       l.withColumn("__lk", explode(filter(array(keyExprs: _*), c => c.isNotNull)))
-    // no broadcast hint: Catalyst/AQE pick the exchange strategy and the
-    // skew-join splitter handles residual imbalance
+    // AQE's skew-join splitter still handles residual imbalance on the
+    // non-broadcast strategies
     how match {
       case "inner" =>
-        val joined = keyedLeft(left).join(rightKeyedFinal, col("__lk") === col("__rk"), "inner")
+        val joined = keyedLeft(left).join(rightForKeyJoin, col("__lk") === col("__rk"), "inner")
           .drop("__lk", "__rk")
         StareJoin.assemble(joined, rightRows, how = "inner", broadcastRight = false)
       case "left" =>
@@ -411,7 +449,7 @@ object Skew {
         // pairs are already unique), then re-attach unmatched left rows
         val leftIds = StareJoin.withStableId(left, "__stare_lid")
         val pairs = keyedLeft(leftIds.select(col("__stare_lid"), col(leftSid)))
-          .join(rightKeyedFinal, col("__lk") === col("__rk"), "inner")
+          .join(rightForKeyJoin, col("__lk") === col("__rk"), "inner")
           .select(col("__stare_lid"), col("__rid"))
         val joined = leftIds.join(pairs, Seq("__stare_lid"), "left").drop("__stare_lid")
         StareJoin.assemble(joined, rightRows, how = "left", broadcastRight = false)

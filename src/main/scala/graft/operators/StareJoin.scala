@@ -376,6 +376,29 @@ object StareJoin {
     * level is actually coarser than the finest right level. */
   def join(left: DataFrame, leftSids: String, right: DataFrame, rightSids: String,
            how: String = "left"): DataFrame = {
+    // Small-sides fast path (r6, guide §1.2): both sides of a general
+    // cover×cover join pass through withStableId, whose RDD round-trip
+    // erases size statistics — every downstream join then plans as a
+    // SortMergeJoin cascade (measured: 20 Exchanges for an 8×8-row
+    // join). When BOTH sides fit a driver probe, the exact pair set is
+    // one interval-intersection loop (the fuzz suite's own reference
+    // kernel) and the result a LocalRelation with known stats.
+    // Conf-gated (spark.graft.join.localCoverCap, rows per side; 0
+    // disables) so tests exercise both paths.
+    val localCap = try left.sparkSession.conf
+        .get("spark.graft.join.localCoverCap", "1024").toInt
+      catch { case _: Exception => 1024 }
+    if (localCap > 0) {
+      val lp = left.limit(localCap + 1).collect()
+      if (lp.length <= localCap) {
+        val rp = right.limit(localCap + 1).collect()
+        if (rp.length <= localCap &&
+          approxRowBytes(lp) * lp.length + approxRowBytes(rp) * rp.length <=
+            128L * 1024 * 1024)
+          return localJoin(left.sparkSession, lp, left.schema, leftSids,
+            rp, right.schema, rightSids, how)
+      }
+    }
     // both level sets in one tiny aggregation job
     val lv = left.select(lit(1).as("side"), explode(col(leftSids)).as("s"))
       .unionByName(right.select(lit(2).as("side"), explode(col(rightSids)).as("s")))
@@ -412,6 +435,63 @@ object StareJoin {
     val joined = leftIds.join(pairs, leftIds("__lid") === pairs("__plid"), "left")
       .drop("__lid", "__plid")
     assemble(joined, rightIds, how, broadcastRight = false)
+  }
+
+  /** Driver-local general join over two collected sides: exact
+    * interval-intersects in both directions (Sid.anyIntersects over
+    * merged intervals — the same reference kernel the equivalence fuzz
+    * asserts against), with join()'s output contract: left columns,
+    * key_right (dense 0..n-1 right row ids, like pointJoin's), right
+    * columns, clashes suffixed, how=left emitting one all-null right
+    * row per unmatched left row. */
+  private def localJoin(spark: org.apache.spark.sql.SparkSession,
+                        leftRows: Array[org.apache.spark.sql.Row],
+                        leftSchema: org.apache.spark.sql.types.StructType, leftSids: String,
+                        rightRows: Array[org.apache.spark.sql.Row],
+                        rightSchema: org.apache.spark.sql.types.StructType, rightSids: String,
+                        how: String): DataFrame = {
+    if (how != "left" && how != "inner")
+      throw new IllegalArgumentException(s"how=$how (left|inner)")
+    val lIdx = leftSchema.fieldIndex(leftSids)
+    val rIdx = rightSchema.fieldIndex(rightSids)
+    def cells(r: org.apache.spark.sql.Row, i: Int): Array[Long] = {
+      val s = if (r.isNullAt(i)) null else r.getSeq[Long](i)
+      if (s == null) Array.emptyLongArray else s.toArray
+    }
+    val rightCells = rightRows.map(cells(_, rIdx))
+    val rightIntervals = rightCells.map(c =>
+      if (c.isEmpty) Array.empty[(Long, Long)] else Sid.mergedIntervals(c))
+    val clash = leftSchema.fieldNames.toSet.intersect(rightSchema.fieldNames.toSet)
+    def suffixed(s: org.apache.spark.sql.types.StructType, suf: String, forceNull: Boolean) =
+      s.fields.map { f =>
+        val n = if (clash.contains(f.name)) f.name + suf else f.name
+        f.copy(name = n, nullable = f.nullable || forceNull)
+      }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      suffixed(leftSchema, "_left", forceNull = false) ++
+        (org.apache.spark.sql.types.StructField("key_right",
+          org.apache.spark.sql.types.LongType, nullable = how == "left") +:
+          suffixed(rightSchema, "_right", forceNull = how == "left")))
+    val nullRight: Seq[Any] = Seq.fill(rightSchema.fields.length + 1)(null)
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    leftRows.foreach { lr =>
+      val lc = cells(lr, lIdx)
+      var matched = false
+      if (lc.nonEmpty) {
+        var j = 0
+        while (j < rightRows.length) {
+          if (rightCells(j).nonEmpty && Sid.anyIntersects(lc, rightIntervals(j))) {
+            matched = true
+            out += org.apache.spark.sql.Row.fromSeq(
+              lr.toSeq ++ (j.toLong +: rightRows(j).toSeq))
+          }
+          j += 1
+        }
+      }
+      if (!matched && how == "left")
+        out += org.apache.spark.sql.Row.fromSeq(lr.toSeq ++ nullRight)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*), outSchema)
   }
 
   /** suffix clashing columns and finish the left/inner assembly. */

@@ -334,9 +334,15 @@ object AnnOps {
     * probed clusters' directories. */
   def writeClustered(emb: DataFrame, vecCol: String, centroids: Array[Array[Double]],
                      path: String): Unit =
+    // by NUMBER + key (guide §2.4): a key-only repartition is an
+    // AQE-coalescible exchange — small batches collapse to one task
+    // that writes every cluster directory serially (the Pods.write
+    // lesson); the explicit count pins write parallelism
     emb.withColumn(ClusterCol, ivfAssign(emb, vecCol, centroids))
-      .repartition(col(ClusterCol))
-      .write.mode("overwrite").partitionBy(ClusterCol).parquet(path)
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions, col(ClusterCol))
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .partitionBy(ClusterCol).parquet(path)
 
   /** Probed top-k against a writeClustered table: partition pruning on
     * the cluster directories + exact cosine re-rank. */
@@ -369,6 +375,11 @@ object AnnOps {
                    queries: Seq[(Long, Array[Float])], k: Int,
                    centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
+    // duplicate qids would fan each candidate row out once per duplicate
+    // probe pair, filling that qid's rank window with duplicate rows
+    // instead of k distinct neighbors (ADVICE r5) — fail fast instead
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate qids in the query batch — qids must be distinct")
     // qid/cos_sim are the OUTPUT contract and __rk/__probe_cluster the
     // working columns: an input already carrying one would make the
     // broadcast join ambiguous (AnalysisException deep in the plan) or

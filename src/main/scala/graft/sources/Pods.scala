@@ -69,8 +69,13 @@ object Pods {
       case Some(_) =>
         // committed by another lineage or a stale layout: replace the
         // store wholesale so stale pod directories can't outlive the
-        // manifest that no longer lists them (catalog/data divergence)
-        deleteRecursively(Paths.get(path))
+        // manifest that no longer lists them (catalog/data divergence).
+        // The old store is renamed aside atomically and deleted on a
+        // background thread (r6, guide §6): a sequential Files.walk
+        // delete of a many-directory store blocked the driver for
+        // hundreds of ms before the write could start; the rename gives
+        // the same visible result (path gone) in one FS op.
+        trashAsync(Paths.get(path))
       case None => // absent or partial (no/invalid snapshot): dynamic overwrite below
     }
 
@@ -83,12 +88,32 @@ object Pods {
     val partCols = "pod" +: tsCol.map(_ => "tchunk").toSeq
     // cluster rows by partition key before writing: without this every
     // task writes a sliver into every pod directory (tasks x pods small
-    // files — measured 5x slower at sf0.1 and hostile to readers at scale)
+    // files — measured 5x slower at sf0.1 and hostile to readers at scale).
+    //
+    // Commit shape (opt guide §6, r6): STATIC overwrite + committer v2.
+    // write() always writes the FULL store, so static overwrite (delete
+    // root, write fresh) gives the same crash contract as the previous
+    // dynamic per-partition staging (an uncommitted partial state is
+    // replaced either way; the store only becomes visible through the
+    // snapshot commit below) while skipping the dynamic mode's
+    // stage-then-move rename pass over every partition directory.
+    // Committer v2 moves task output straight to the final directory in
+    // the TASK commit — parallel across tasks — instead of a serial
+    // driver-side job-commit rename per file (~20 ms/file on this host,
+    // lesson 6); atomicity is not lost because Pods' own manifest +
+    // _SNAPSHOT.json commit, not the committer, publishes the store.
+    // repartition BY NUMBER + key, not by key alone (r6, guide §2.4):
+    // a keyed repartition is an AQE-coalescible exchange, and a small
+    // batch's shuffle bytes coalesce to ONE task that then creates
+    // every partition directory sequentially (~15-20 ms per file on
+    // this host — measured 2.3 s single-task writes at 128 pods). The
+    // explicit partition count pins write parallelism to the session's
+    // shuffle partitioning, which deployments size to the cluster.
     withPod
-      .repartition(partCols.map(col): _*)
+      .repartition(spark.sessionState.conf.numShufflePartitions, partCols.map(col): _*)
       .sortWithinPartitions(col(sidCol))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic") // per-write, not session-wide
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy(partCols: _*).parquet(path)
 
     commitStore(spark, path, sidCol, hasTchunk = tsCol.isDefined, tsCol = tsCol,
@@ -396,6 +421,23 @@ object Pods {
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+
+  /** Atomically rename `p` aside and delete it on a daemon thread: the
+    * caller observes the path gone immediately, without paying a
+    * driver-blocking recursive delete. Falls back to the synchronous
+    * delete when the rename is impossible (cross-device, permissions). */
+  private[graft] def trashAsync(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val trash = p.resolveSibling(
+      s".${p.getFileName}.trash-${java.lang.Long.toHexString(System.nanoTime())}")
+    try {
+      Files.move(p, trash)
+      val t = new Thread(() => try deleteRecursively(trash) catch { case _: Exception => () },
+        s"graft-pods-trash-${trash.getFileName}")
+      t.setDaemon(true)
+      t.start()
+    } catch { case _: Exception => deleteRecursively(p) }
+  }
 
   /** (formatVersion, lineageId) of the snapshot, if one parses. */
   private def snapshotInfo(path: String): Option[(Int, String)] = {

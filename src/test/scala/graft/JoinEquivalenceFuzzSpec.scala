@@ -170,9 +170,16 @@ class JoinEquivalenceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
              val m = innerPairs.map(_._1).toSet
              innerPairs ++ leftArr.collect { case (lid, _) if !m(lid) => (lid, "__none") }
            }).sorted
+        // both join() paths: the driver-local small-sides fast path
+        // (default cap) and the distributed plan (cap=0) — r6
         val general = observedPairs(
           StareJoin.join(leftArrDf, "sids_l", rightDf, "sids", how = how))
-        assert(general === expJoin, s"join() vs brute intersects — $clue")
+        assert(general === expJoin, s"join() [local path] vs brute intersects — $clue")
+        spark.conf.set("spark.graft.join.localCoverCap", "0")
+        val generalDist =
+          try observedPairs(StareJoin.join(leftArrDf, "sids_l", rightDf, "sids", how = how))
+          finally spark.conf.unset("spark.graft.join.localCoverCap")
+        assert(generalDist === expJoin, s"join() [distributed path] vs brute intersects — $clue")
       }
     }
   }
