@@ -743,7 +743,10 @@ object SparkEntry {
       case Some((sess, df)) if (sess eq s) && !sess.sparkContext.isStopped => return df
       case _ =>
     }
-    val d = s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+    // no input repartition (r6): at this table size the signature pass
+    // is cheaper than the exchange it bought (q18 measured the same),
+    // and production inputs arrive already split
+    val d = s.read.parquet(s"$dir/documents.parquet")
     val cs = TextOps.minhashCandidateSet(d)
     val pairsPlan = refinePairs(d, cs)
     val localPairCap = 1 << 20 // ~24 MB of (long, long, double) tuples

@@ -40,7 +40,8 @@ object Skew {
     * instead of re-aggregating the left side. */
   final case class SplitResult(right: DataFrame, parents: Seq[SplitParent],
                                keptLevels: Array[Int], skipReason: Option[String] = None,
-                               minLeftLevel: Int = Sid.MaxLevel)
+                               minLeftLevel: Int = Sid.MaxLevel,
+                               allCells: Array[Long] = Array.emptyLongArray)
 
   /** Estimate per-cell point counts from a sample of the left side and
     * split cells whose projected population exceeds `maxRowsPerCell`.
@@ -106,7 +107,7 @@ object Skew {
     def skip(reason: String): SplitResult = {
       sample.unpersist(false)
       System.err.println(s"[skew] split skipped: no projected win — $reason")
-      SplitResult(right, Seq.empty, levels, Some(reason), minLeftLevel)
+      SplitResult(right, Seq.empty, levels, Some(reason), minLeftLevel, cells)
     }
     val conf = left.sparkSession.conf
     // (1) a cover-key side under the broadcast threshold never shuffles
@@ -246,7 +247,7 @@ object Skew {
       canon.flatMap(c => plan.getOrElse(Sid.clearToLevel(c), Seq(Sid.clearToLevel(c))))
     })
     SplitResult(right.withColumn(rightSids, rewriteUdf(col(rightSids))), parents, keptLevels,
-      minLeftLevel = minLeftLevel)
+      minLeftLevel = minLeftLevel, allCells = cells)
   }
 
   /** Back-compat wrapper returning only the rewritten cover frame.
@@ -408,6 +409,27 @@ object Skew {
       else if (estKeyedBytes / math.max(1, shufflePartitions) <= shjBuildCap)
         rightKeyedFinal.hint("shuffle_hash")
       else rightKeyedFinal // sort-merge: spills gracefully for huge covers
+    // The assemble join-back (joined ⋈ rightRows on the row id) sees the
+    // same stats-free lineage, so without a decision here it sort-merges
+    // — at the 24M-row shuffle bench that sort of the JOINED output was
+    // the single largest remaining cost. Size the right ROWS (payload
+    // included) from one bounded probe: row count is bounded by the
+    // keyed pair count (every non-empty cover row emits ≥ 1 pair;
+    // empty-cover rows are assumed rare — they carry no join work).
+    // Strategy honors the session broadcast threshold (the skew bench
+    // disables broadcasting precisely to model a beyond-broadcast cover
+    // side), falling back to shuffled-hash under the build cap.
+    val assembleProbeN = 4096
+    val rightProbe = rightRows.limit(assembleProbeN + 1).collect()
+    val rowBytesEst = StareJoin.approxRowBytes(rightProbe)
+    val estRightRowsBytes =
+      if (rightProbe.length <= assembleProbeN) rowBytesEst * rightProbe.length
+      else rowBytesEst * math.max(keyedRightRows, rightProbe.length)
+    val (assembleRight, assembleBroadcast) =
+      if (bcastThreshold > 0 && estRightRowsBytes <= bcastThreshold) (rightRows, true)
+      else if (estRightRowsBytes / math.max(1, shufflePartitions) <= shjBuildCap)
+        (rightRows.hint("shuffle_hash"), false)
+      else (rightRows, false)
     // base levels probed unconditionally; split-child levels already in
     // the base set are matched by the base key (no gated duplicate — a
     // duplicate key value would double pairs); levels introduced ONLY
@@ -421,29 +443,111 @@ object Skew {
     val baseLevels: Array[Int] =
       if (rebased) (target +: keptLevels.filter(_ > target)).distinct.sorted else keptLevels
     val baseSet = baseLevels.toSet
-    def keyExprs: Seq[Column] = {
-      val base = baseLevels.toSeq.map(lv =>
-        when(stareLevel(col(leftSid)) >= lv, stareClearTo(col(leftSid), lv)))
+    // Dead base-key suppression (r6): a row inside a split parent p
+    // derives, at every base level inside p's region that p's
+    // (uniform-depth) replacement children do not serve, a key value
+    // that matches NOTHING on the right — the parent was removed, its
+    // children key at their own (or rebase-expanded) level, and the
+    // rows match through the GATED child key. Those dead keys are
+    // guaranteed-dead shuffle traffic that re-melts the very reducer
+    // the split exists to relieve (measured at the melt bench: the
+    // entire 21.6M-row hot population still shuffled into ONE
+    // partition — via its dead rebase-level key — to match nothing;
+    // that partition's probe/sort was the split leg's max task, in
+    // every round since the mechanism shipped). Suppression predicate
+    // per (base level lv, parent p): drop the key when the row lies in
+    // p (the gate test) and lv >= p.level and lv != p's effective
+    // child level. Applied ONLY for parents no other original cover
+    // cell overlaps: an overlapping cell (e.g. a coarser cell of
+    // another cover row, rebase-expanded onto lv) could legitimately
+    // match rows inside p, and suppression would lose the pair. The
+    // overlap check runs on the driver over the small distinct-cell list.
+    val suppressByLevel: Map[Int, Seq[SplitParent]] = splitRes match {
+      case Some(sr) if sr.skipReason.isEmpty =>
+        val all = sr.allCells
+        val safe = sr.parents.filter { p =>
+          val lo = Sid.intervalLo(p.cell); val hi = Sid.intervalHi(p.cell)
+          !all.exists(c => c != p.cell &&
+            Sid.intervalLo(c) < hi && lo < Sid.intervalHi(c))
+        }
+        baseLevels.toSeq.map { lv =>
+          lv -> safe.filter { p =>
+            // uniform split depth => one child level per parent
+            val ecl = p.childLevels.map(cl => if (rebased && cl <= target) target else cl)
+            lv >= p.level && !ecl.contains(lv)
+          }
+        }.filter(_._2.nonEmpty).toMap
+      case _ => Map.empty
+    }
+    if (sys.env.contains("GRAFT_SKEW_DEBUG")) {
+      System.err.println(s"[skewdbg] keptLevels=${keptLevels.mkString(",")} rebased=$rebased " +
+        s"target=$target baseLevels=${baseLevels.mkString(",")} " +
+        s"parents=${parents.map(p => s"${java.lang.Long.toHexString(p.cell)}@L${p.level}->" +
+          p.childLevels.mkString("/")).mkString(";")} " +
+        s"suppress=${suppressByLevel.map { case (l, ps) => s"L$l:${ps.size}" }.mkString(",")} " +
+        s"levelHist=${levelHist.toSeq.sorted.mkString(",")}")
+    }
+    def keyExprsFor(sidCol: Column): Seq[Column] = {
+      val base = baseLevels.toSeq.map { lv =>
+        val k = stareClearTo(sidCol, lv)
+        var cond = stareLevel(sidCol) >= lv
+        suppressByLevel.getOrElse(lv, Seq.empty).foreach { p =>
+          cond = cond && !(stareClearTo(sidCol, p.level) === p.cell)
+        }
+        when(cond, k)
+      }
       val gated = parents.flatMap { p =>
         p.childLevels
           .filter(lv => (!rebased || lv > target) && !baseSet.contains(lv))
           .map { lv =>
-            when(stareLevel(col(leftSid)) >= lv &&
-              stareClearTo(col(leftSid), p.level) === p.cell,
-              stareClearTo(col(leftSid), lv))
+            when(stareLevel(sidCol) >= lv &&
+              stareClearTo(sidCol, p.level) === p.cell,
+              stareClearTo(sidCol, lv))
           }
       }
       base ++ gated
     }
     def keyedLeft(l: DataFrame): DataFrame =
-      l.withColumn("__lk", explode(filter(array(keyExprs: _*), c => c.isNotNull)))
+      l.withColumn("__lk", explode(filter(array(keyExprsFor(col(leftSid)): _*), c => c.isNotNull)))
     // AQE's skew-join splitter still handles residual imbalance on the
     // non-broadcast strategies
     how match {
+      case "inner" if !assembleBroadcast &&
+        estRightRowsBytes / math.max(1, shufflePartitions) <= shjBuildCap =>
+        // Full-row keyed right (r6, guide §2.3/§8): when the join-back
+        // cannot broadcast, assembling by row id re-SHUFFLES the entire
+        // joined output (24M rows at the bench — its single largest
+        // cost). Instead, attach the right ROW COLUMNS to the small
+        // keyed side BEFORE the big join (a small⋈small hash join), so
+        // the big side crosses exactly ONE exchange and the join output
+        // is final. The split rewrite stays confined to the key
+        // derivation: rightKeyedFinal carries (rid, key) from the
+        // (possibly split/rebased) cells, while the row columns come
+        // from the ORIGINAL rightRows.
+        val leftCols = left.columns
+        val rightCols = rightRows.columns.filter(_ != "key_right")
+        val clash = leftCols.toSet.intersect(rightCols.toSet)
+        val l = clash.foldLeft(left)((df, c) => df.withColumnRenamed(c, c + "_left"))
+        val r = clash.foldLeft(rightRows)((df, c) => df.withColumnRenamed(c, c + "_right"))
+        val lSid = if (clash.contains(leftSid)) leftSid + "_left" else leftSid
+        val rightFull = rightKeyedFinal
+          .join(r.hint("shuffle_hash"), col("__rid") === col("key_right"), "inner")
+          .drop("__rid")
+        // key expressions rebuilt against the (possibly clash-renamed)
+        // left sid column
+        val keyedLeftFull =
+          l.withColumn("__lk", explode(filter(array(keyExprsFor(col(lSid)): _*), c => c.isNotNull)))
+        val out = keyedLeftFull
+          .join(rightFull.hint("shuffle_hash"), col("__lk") === col("__rk"), "inner")
+          .drop("__lk", "__rk")
+        // column order contract: left columns, key_right, right columns
+        val ordered = l.columns.filter(_ != "__lk").map(out(_)) ++
+          Array(out("key_right")) ++ r.columns.filter(_ != "key_right").map(out(_))
+        out.select(ordered.toIndexedSeq: _*)
       case "inner" =>
         val joined = keyedLeft(left).join(rightForKeyJoin, col("__lk") === col("__rk"), "inner")
           .drop("__lk", "__rk")
-        StareJoin.assemble(joined, rightRows, how = "inner", broadcastRight = false)
+        StareJoin.assemble(joined, assembleRight, how = "inner", broadcastRight = assembleBroadcast)
       case "left" =>
         // pair ids first (cover cells are disjoint after compression, so
         // pairs are already unique), then re-attach unmatched left rows
@@ -452,7 +556,7 @@ object Skew {
           .join(rightForKeyJoin, col("__lk") === col("__rk"), "inner")
           .select(col("__stare_lid"), col("__rid"))
         val joined = leftIds.join(pairs, Seq("__stare_lid"), "left").drop("__stare_lid")
-        StareJoin.assemble(joined, rightRows, how = "left", broadcastRight = false)
+        StareJoin.assemble(joined, assembleRight, how = "left", broadcastRight = assembleBroadcast)
       case other => throw new IllegalArgumentException(s"how=$other (inner|left)")
     }
   }

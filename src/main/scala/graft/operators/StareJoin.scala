@@ -302,7 +302,7 @@ object StareJoin {
 
   /** Rough in-memory width of a collected row (bytes) — drives the
     * dictionary-plan byte budget. Samples <= ~100 rows evenly. */
-  private def approxRowBytes(rows: Array[org.apache.spark.sql.Row]): Long = {
+  private[operators] def approxRowBytes(rows: Array[org.apache.spark.sql.Row]): Long = {
     if (rows.isEmpty) return 16L
     def sz(v: Any): Long = v match {
       case null          => 8L

@@ -191,12 +191,20 @@ class JoinEquivalenceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no broadcast: the splitter only engages when a per-key shuffle exists
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      (1 to 2).foreach { trial =>
+      (1 to 3).foreach { trial =>
         val hot = randomSid(r, 2 + r.nextInt(3)) // one hot cover cell
         val hotLevel = Sid.level(hot)
+        // trial 3: an ANCESTOR cover cell overlapping the hot cell —
+        // pins the r6 dead-base-key suppression's overlap safety (rows
+        // in the split parent must still match the blanket cover; an
+        // unconditional suppression would lose those pairs)
+        val blanket =
+          if (trial == 3 && hotLevel > 0)
+            Seq(("blanket", Seq((hot & Sid.clearMask(hotLevel - 1)) | (hotLevel - 1).toLong)))
+          else Seq.empty
         val covers = Seq(
           ("hot", Seq(hot, randomSid(r, 6))),
-          ("cold", Seq(randomSid(r, 3), randomSid(r, 5))))
+          ("cold", Seq(randomSid(r, 3), randomSid(r, 5)))) ++ blanket
         // 4000 points inside the hot cell at mixed fine levels + 1000
         // uniform: the 1% sample sees ~40 hot rows, estHot ~4000 ≫ the
         // 2× fair-share gate at 4 shuffle partitions
