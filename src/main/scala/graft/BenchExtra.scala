@@ -85,6 +85,125 @@ object BenchExtra {
           }
           spark.catalog.clearCache()
         }
+      case "joinphases" =>
+        // Phase breakdown of the headline join section (guide §1.4):
+        // same generator, same persist, fresh timings per phase with the
+        // noop sink so each phase computes every column it claims to.
+        import graft.functions.StareFunctions._
+        val amplify = sys.env.get("SPARK_GRAFT_AMPLIFY").map(_.toInt).getOrElse(-1)
+        val pts = Bench.buildPoints(spark, sfDir, amplify)
+        pts.persist().count()
+        val n = pts.count()
+        def t(label: String)(f: => Unit): Double = {
+          spark.sparkContext.setJobDescription(label)
+          val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[joinphases] $label%-12s $s%6.2f s"); s
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val covers = SparkEntry.coversDf(spark)
+        // warm-up all plans once (codegen/JIT)
+        noop(pts); noop(pts.withColumn("sid", stareSid(col("lat"), col("lon"), 26)))
+        Bench.timeJoin(pts, covers)
+        val indexed = pts.withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+        val joinedNoAgg = graft.operators.StareJoin.pointJoin(indexed, "sid", covers, "sids",
+          how = "inner", knownMinLeftLevel = Some(26))
+        noop(indexed.withColumn("k", stareClearTo(col("sid"), 6))); noop(joinedNoAgg)
+        val scanSec = (1 to 3).map(_ => t("cache_scan")(noop(pts))).min
+        val encodeSec = (1 to 3).map(_ => t("scan+encode")(noop(indexed))).min
+        val clearSec = (1 to 3).map(_ => t("encode+clear")(noop(
+          indexed.withColumn("k", stareClearTo(col("sid"), 6))))).min
+        val joinNoAggSec = (1 to 3).map(_ => t("join_noagg")(noop(joinedNoAgg))).min
+        // stage-level accounting for one full_join run: wall vs summed
+        // executor run time tells CPU-bound from scheduling-bound
+        val stageLog = new scala.collection.mutable.ArrayBuffer[(Int, String, Int, Long, Long)]
+        val sl = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            stageLog.synchronized {
+              stageLog += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), si.numTasks,
+                si.taskMetrics.executorRunTime,
+                si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)))
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(sl)
+        val joinSec = (1 to 3).map(_ => t("full_join")(Bench.timeJoin(pts, covers))).min
+        spark.sparkContext.removeSparkListener(sl)
+        stageLog.foreach { case (id, nm, nt, run, wall) =>
+          System.err.println(f"[stage] $id%4d $nm%-60s tasks=$nt%3d execRunMs=$run%7d wallMs=$wall%6d")
+        }
+        val matched = joinedNoAgg.count()
+        // slim variant: covers without the fat sids payload in the output
+        val slimCovers = covers // pointJoin prunes through Catalyst; compare a pre-dropped contract
+        val joinedSlim = graft.operators.StareJoin.pointJoin(indexed, "sid",
+          slimCovers, "sids", how = "inner", knownMinLeftLevel = Some(26))
+          .select(col("region_name"))
+        noop(joinedSlim)
+        val slimSec = (1 to 3).map(_ => t("join_slim")(noop(joinedSlim))).min
+        // executed (final AQE) plan of the aggregated query, post-action
+        val agg = joinedNoAgg.groupBy(col("region_name")).agg(count(lit(1)))
+        agg.collect()
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/joinphases_planagg.txt"),
+          agg.queryExecution.executedPlan.toString)
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/joinphases_plan.txt"),
+          joinedNoAgg.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        println(f"""{"rows":$n,"matched":$matched,"cache_scan_sec":$scanSec%.3f,""" +
+          f""""scan_encode_sec":$encodeSec%.3f,"encode_clear_sec":$clearSec%.3f,""" +
+          f""""join_noagg_sec":$joinNoAggSec%.3f,"join_slim_sec":$slimSec%.3f,""" +
+          f""""full_join_sec":$joinSec%.3f}""")
+      case "joinlab" =>
+        // controlled matrix isolating the headline join's per-row cost
+        import graft.functions.StareFunctions._
+        import spark.implicits._
+        val amplify = sys.env.get("SPARK_GRAFT_AMPLIFY").map(_.toInt).getOrElse(-1)
+        val pts = Bench.buildPoints(spark, sfDir, amplify)
+        pts.persist().count()
+        def t(label: String)(f: => Unit): Unit = {
+          val secs = (1 to 3).map { _ =>
+            spark.sparkContext.setJobDescription(label)
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          System.err.println(f"[joinlab] $label%-22s ${secs.min}%6.2f s  (${secs.map(s => f"$s%.2f").mkString(",")})")
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val indexed = pts.withColumn("sid", stareSid(col("lat"), col("lon"), 26))
+        val keyed = indexed.withColumn("k", stareClearTo(col("sid"), 6))
+        // manual dictionary: exactly the (key, region) pairs the pointJoin
+        // dictionary carries, built on the driver
+        val dict = SparkEntry.regions.flatMap { r =>
+          graft.core.Sid.expandToLevel(SparkEntry.regionCover(r, 6), 6)
+            .map(c => (c, r.name))
+        }.toDF("k", "region_name")
+        val covers = SparkEntry.coversDf(spark)
+        // warm-ups
+        noop(keyed); keyed.groupBy(col("k")).count().write.format("noop").mode("overwrite").save()
+        t("encode_clear_noop")(noop(keyed))
+        t("agg_nokey")(indexed.groupBy().count().collect())
+        t("agg_bykey")(keyed.groupBy(col("k")).agg(count(lit(1))).write.format("noop").mode("overwrite").save())
+        t("manual_join_agg")(keyed.join(broadcast(dict), Seq("k"))
+          .groupBy(col("region_name")).agg(count(lit(1))).collect())
+        t("manual_join_noagg")(noop(keyed.join(broadcast(dict), Seq("k"))))
+        t("pointjoin_agg")(Bench.timeJoin(pts, covers))
+        System.err.println(s"[joinlab] dict_rows=${dict.count()}")
+        // variant A: key materialized in the cache (no encode in the join stage)
+        val keyedMat = keyed.persist(); keyedMat.count()
+        t("matkey_join_agg")(keyedMat.join(broadcast(dict), Seq("k"))
+          .groupBy(col("region_name")).agg(count(lit(1))).collect())
+        // variant B: non-STARE key, same cardinality — isolates the encode
+        val hashKeyed = pts.withColumn("k", pmod(xxhash64(col("lat"), col("lon")), lit(7000)))
+        val dict2 = (0L until 7000L).map(i => (i, s"g${i % 8}")).toDF("k", "region_name")
+        t("hashkey_join_agg")(hashKeyed.join(broadcast(dict2), Seq("k"))
+          .groupBy(col("region_name")).agg(count(lit(1))).collect())
+        // variant C: stare key join with whole-stage codegen OFF
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        t("nowscg_join_agg")(keyedMat.join(broadcast(dict), Seq("k"))
+          .groupBy(col("region_name")).agg(count(lit(1))).collect())
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        keyedMat.unpersist()
       case other => sys.error(s"unknown BenchExtra mode: $other")
     }
     spark.stop()

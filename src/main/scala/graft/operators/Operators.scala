@@ -167,7 +167,7 @@ object KnnJoin {
         StareFunctions.stareCircularCover(col(leftSid), lit(capDeg), lvl), lvl)
       val rk = when(stareLevel(col(rSid)) >= lvl, stareClearTo(col(rSid), lvl))
       val candidates = remaining.withColumn("__lk", explode(cov))
-        .join(rightKeys, col("__lk") === rk).drop("__lk")
+        .join(rightKeys, StareJoin.mixKey(col("__lk")) === StareJoin.mixKey(rk)).drop("__lk")
         .withColumn("dist_rad", distCol)
         .withColumn("nn_rank", row_number().over(
           Window.partitionBy(col(leftId)).orderBy(col("dist_rad"), col(rId))))

@@ -538,14 +538,14 @@ object Skew {
         val keyedLeftFull =
           l.withColumn("__lk", explode(filter(array(keyExprsFor(col(lSid)): _*), c => c.isNotNull)))
         val out = keyedLeftFull
-          .join(rightFull.hint("shuffle_hash"), col("__lk") === col("__rk"), "inner")
+          .join(rightFull.hint("shuffle_hash"), StareJoin.mixKey(col("__lk")) === StareJoin.mixKey(col("__rk")), "inner")
           .drop("__lk", "__rk")
         // column order contract: left columns, key_right, right columns
         val ordered = l.columns.filter(_ != "__lk").map(out(_)) ++
           Array(out("key_right")) ++ r.columns.filter(_ != "key_right").map(out(_))
         out.select(ordered.toIndexedSeq: _*)
       case "inner" =>
-        val joined = keyedLeft(left).join(rightForKeyJoin, col("__lk") === col("__rk"), "inner")
+        val joined = keyedLeft(left).join(rightForKeyJoin, StareJoin.mixKey(col("__lk")) === StareJoin.mixKey(col("__rk")), "inner")
           .drop("__lk", "__rk")
         StareJoin.assemble(joined, assembleRight, how = "inner", broadcastRight = assembleBroadcast)
       case "left" =>
@@ -553,7 +553,7 @@ object Skew {
         // pairs are already unique), then re-attach unmatched left rows
         val leftIds = StareJoin.withStableId(left, "__stare_lid")
         val pairs = keyedLeft(leftIds.select(col("__stare_lid"), col(leftSid)))
-          .join(rightForKeyJoin, col("__lk") === col("__rk"), "inner")
+          .join(rightForKeyJoin, StareJoin.mixKey(col("__lk")) === StareJoin.mixKey(col("__rk")), "inner")
           .select(col("__stare_lid"), col("__rid"))
         val joined = leftIds.join(pairs, Seq("__stare_lid"), "left").drop("__stare_lid")
         StareJoin.assemble(joined, assembleRight, how = "left", broadcastRight = assembleBroadcast)

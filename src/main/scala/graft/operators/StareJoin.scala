@@ -33,6 +33,29 @@ object StareJoin {
   private final val LKey = "__stare_lkey"
   private final val RKey = "__stare_rkey"
 
+  /** Bijective low-bit mix applied to BOTH sides of every sid-derived
+    * long equi-join key (r6, the single largest headline-join cost):
+    * Spark's LongToUnsafeRowMap slots a key by
+    * ((key * 0x9E3779B9) ^ (product >> 32)) & mask — a 32-bit golden
+    * multiply. A cover-level key is (locationPrefix << (5 + 2*(27-L)))
+    * | L: at L=6 the low 47 bits are IDENTICAL across every key, so the
+    * product's low 32 bits are constant and the varying bits land at
+    * positions 15-31 — masked out for any map under ~4B slots. Every
+    * level-6 cover cell therefore hashed into ONE linear-probe cluster,
+    * and each of the 16M bench probes walked a ~7k-entry chain:
+    * measured 160 core-seconds (~10 core-µs/row) against 0.28 s for an
+    * equal-cardinality dense-key join; fixed, the probe is ~40x cheaper
+    * (joinlab in BenchExtra).
+    *
+    * key ^ (key >>> 31) is invertible (xorshift), null-preserving, and
+    * moves every cover level's meaningful bits (positions 5..61) into
+    * the golden multiply's low 32 bits, so equality — and hence the
+    * join's match set — is EXACTLY preserved while slots spread. Row-id
+    * join-backs (packed partition<<40|pos ids) already vary in their
+    * low bits and stay unmixed. */
+  private[operators] def mixKey(c: Column): Column =
+    c.bitwiseXOR(shiftrightunsigned(c, 31))
+
   /** normalized key of a sid at its own (statically known) level. */
   private def normKey(sid: Column, level: Int): Column = stareClearTo(sid, level)
 
@@ -245,7 +268,7 @@ object StareJoin {
       // all-null right columns — exactly stare_join's left semantics, no
       // key filter needed because there is a single key per row.
       val out = leftKeyed
-        .join(broadcast(rightUniform), col(LKey) === col(RKey), joinType)
+        .join(broadcast(rightUniform), mixKey(col(LKey)) === mixKey(col(RKey)), joinType)
         .drop(LKey, RKey)
       // column order: left columns, key_right, right columns (test_join.py:77-81)
       val ordered = l.columns.filter(c => c != LKey).map(out(_)) ++
@@ -269,7 +292,7 @@ object StareJoin {
           when(stareLevel(col(leftSid)) >= maxLevel, stareClearTo(col(leftSid), maxLevel)))
       }
       val joinType = if (how == "inner") "inner" else "left"
-      val joined = leftKeyed.join(broadcast(slim), col(LKey) === col(RKey), joinType)
+      val joined = leftKeyed.join(broadcast(slim), mixKey(col(LKey)) === mixKey(col(RKey)), joinType)
         .drop(LKey, RKey)
       return assemble(joined, rightRows, how, broadcastRight = true)
     }
@@ -281,7 +304,7 @@ object StareJoin {
       // small (compressed covers), so the explode factor is bounded.
       val leftKeyed = left.withColumn(LKey,
         explode(ancestorKeys(col(leftSid), levels, knownMinLeftLevel)))
-      leftKeyed.join(broadcast(rightKeyed), col(LKey) === col(RKey), "inner")
+      leftKeyed.join(broadcast(rightKeyed), mixKey(col(LKey)) === mixKey(col(RKey)), "inner")
         .drop(LKey, RKey)
     } else {
       // left join: pre-filter each point's ancestor keys to those that
@@ -293,7 +316,7 @@ object StareJoin {
       val filterKeys = udf((ks: Seq[Long]) => { val f = ks.filter(keySet); if (f.isEmpty) null else f })
       val leftKeyed = left.withColumn(LKey,
         explode_outer(filterKeys(ancestorKeys(col(leftSid), levels, knownMinLeftLevel))))
-      leftKeyed.join(broadcast(rightKeyed), col(LKey) === col(RKey), "left")
+      leftKeyed.join(broadcast(rightKeyed), mixKey(col(LKey)) === mixKey(col(RKey)), "left")
         .drop(LKey, RKey)
     }
 
@@ -415,7 +438,7 @@ object StareJoin {
 
     // direction A: right sid contains left sid (left key cleared to right levels)
     val a = le.withColumn(LKey, explode(ancestorKeys(col("__ls"), rlevels)))
-      .join(re.withColumn(RKey, stareClearToOwn(col("__rs"))), col(LKey) === col(RKey))
+      .join(re.withColumn(RKey, stareClearToOwn(col("__rs"))), mixKey(col(LKey)) === mixKey(col(RKey)))
       .select(col("__lid"), col("__rid"))
     // direction B: left sid contains right sid (strictly coarser to avoid
     // double-count); provably empty — and skipped wholesale — when no
@@ -423,7 +446,7 @@ object StareJoin {
     val bLevels = if (rlevels.isEmpty) Array.empty[Int] else llevels.filter(l => l < rlevels.max)
     val ab = if (bLevels.isEmpty) a else {
       val b = re.withColumn(RKey, explode(ancestorKeys(col("__rs"), bLevels)))
-        .join(le.withColumn(LKey, stareClearToOwn(col("__ls"))), col(LKey) === col(RKey))
+        .join(le.withColumn(LKey, stareClearToOwn(col("__ls"))), mixKey(col(LKey)) === mixKey(col(RKey)))
         .filter(stareLevel(col("__ls")) < stareLevel(col("__rs")))
         .select(col("__lid"), col("__rid"))
       a.union(b)
