@@ -204,6 +204,20 @@ object BenchExtra {
           .groupBy(col("region_name")).agg(count(lit(1))).collect())
         spark.conf.set("spark.sql.codegen.wholeStage", "true")
         keyedMat.unpersist()
+      case "q43parts" =>
+        // cold-cost bisection of q43's pipeline (jobs + codegen)
+        import graft.functions.StareFunctions._
+        def t(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          System.err.println(f"[q43parts] $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+        val docs = SparkEntry.indexed(spark, sfDir)
+        t("indexed_count")(docs.count())
+        val joined = graft.operators.Skew.shuffleJoin(docs, "sid", SparkEntry.coversDf(spark),
+          "sids", splitHot = None, how = "left", knownMinLeftLevel = Some(26))
+        t("shufflejoin_count")(joined.count())
+        t("q43_full")(SparkEntry.queries("q43_shuffle_join_left")(spark, sfDir).count())
+        t("q43_warm")(SparkEntry.queries("q43_shuffle_join_left")(spark, sfDir).count())
       case other => sys.error(s"unknown BenchExtra mode: $other")
     }
     spark.stop()

@@ -548,9 +548,46 @@ object Skew {
         val joined = keyedLeft(left).join(rightForKeyJoin, StareJoin.mixKey(col("__lk")) === StareJoin.mixKey(col("__rk")), "inner")
           .drop("__lk", "__rk")
         StareJoin.assemble(joined, assembleRight, how = "inner", broadcastRight = assembleBroadcast)
+      case "left" if keyExprsFor(col(leftSid)).size == 1 =>
+        // Single candidate key per left row (the post-rebase common
+        // case: one uniform base level, no gated split levels, and —
+        // provably, see the suppression construction — no suppression
+        // predicates either): a DIRECT left equi-join is exact. The
+        // pair/join-back shape below exists because a row exploded to
+        // N candidate keys left-joins into one spurious all-null row
+        // per non-matching key; with exactly one key a non-match is
+        // THE unmatched row and a match has exact multiplicity (cells
+        // within a cover row are disjoint, so one key matches at most
+        // one cell per right row). Collapses three passes over the big
+        // side (key join + id join-back + assemble) into ONE — q43's
+        // cold sweep cost roughly halves, and at scale the big side
+        // crosses exactly one exchange like the inner full-row path.
+        val leftCols = left.columns
+        val rightCols = rightRows.columns.filter(_ != "key_right")
+        val clash = leftCols.toSet.intersect(rightCols.toSet)
+        val l = clash.foldLeft(left)((df, c) => df.withColumnRenamed(c, c + "_left"))
+        val r = clash.foldLeft(rightRows)((df, c) => df.withColumnRenamed(c, c + "_right"))
+        val lSid = if (clash.contains(leftSid)) leftSid + "_left" else leftSid
+        val rightFullPlain = rightKeyedFinal
+          .join(r.hint("shuffle_hash"), col("__rid") === col("key_right"), "inner")
+          .drop("__rid")
+        val rightFull =
+          if (assembleBroadcast) org.apache.spark.sql.functions.broadcast(rightFullPlain)
+          else if (estRightRowsBytes / math.max(1, shufflePartitions) <= shjBuildCap)
+            rightFullPlain.hint("shuffle_hash")
+          else rightFullPlain
+        val out = l.withColumn("__lk", keyExprsFor(col(lSid)).head)
+          .join(rightFull, StareJoin.mixKey(col("__lk")) === StareJoin.mixKey(col("__rk")), "left")
+          .drop("__lk", "__rk")
+        val ordered = l.columns.filter(_ != "__lk").map(out(_)) ++
+          Array(out("key_right")) ++ r.columns.filter(_ != "key_right").map(out(_))
+        out.select(ordered.toIndexedSeq: _*)
       case "left" =>
         // pair ids first (cover cells are disjoint after compression, so
-        // pairs are already unique), then re-attach unmatched left rows
+        // pairs are already unique), then re-attach unmatched left rows.
+        // The pairs join-back (not a direct left join) is load-bearing
+        // here: with multiple candidate key levels a direct left join
+        // would emit one spurious all-null row per non-matching key.
         val leftIds = StareJoin.withStableId(left, "__stare_lid")
         val pairs = keyedLeft(leftIds.select(col("__stare_lid"), col(leftSid)))
           .join(rightForKeyJoin, StareJoin.mixKey(col("__lk")) === StareJoin.mixKey(col("__rk")), "inner")

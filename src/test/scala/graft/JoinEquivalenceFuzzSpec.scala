@@ -232,4 +232,42 @@ class JoinEquivalenceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
   }
+
+  test("single-level-cover LEFT shuffleJoin takes the direct-join path and stays exact (r6)") {
+    // Pins the r6 single-candidate-key rewrite of shuffleJoin's left
+    // branch (one uniform cover level -> direct left equi-join, no
+    // pair/join-back): adversarial fixture with an unmatched fine point,
+    // a TOO-COARSE left sid (derives no key -> must surface as __none,
+    // not vanish), overlapping covers (multi-match multiplicity), an
+    // empty-cover right row, and duplicate pre-compress cells.
+    import spark.implicits._
+    val r = new scala.util.Random(20260822)
+    val cellA = randomSid(r, 6)
+    val cellB = randomSid(r, 6)
+    val inA1 = descendantOf(r, cellA, 26)
+    val inA2 = descendantOf(r, cellA, 26)
+    val inB = descendantOf(r, cellB, 26)
+    val outside = {
+      var s = randomSid(r, 26)
+      while (coverContains(Seq(cellA, cellB), s)) s = randomSid(r, 26)
+      s
+    }
+    val coarse = randomSid(r, 3) // coarser than every cover cell: contract says no match
+    val left = Seq((1L, inA1), (2L, inA2), (3L, inB), (4L, outside), (5L, coarse))
+    val covers = Seq(
+      ("a", Seq(cellA, cellA)),          // duplicate cell: compress, single match
+      ("ab", Seq(cellA, cellB)),         // overlaps both populations
+      ("empty", Seq.empty[Long]),        // never matches
+      ("a2", Seq(cellA)))              // same cell again under a different row
+    Seq("left", "inner").foreach { how =>
+      val exp = expectedPairs(left, covers, how, coverContains)
+      val got = observedPairs(Skew.shuffleJoin(left.toDF("lid", "sid"), "sid",
+        covers.toDF("rname", "sids"), "sids", splitHot = None, how = how))
+      assert(got === exp, s"how=$how covers=$covers left=$left")
+      // same fixture through pointJoin for the three-way invariant
+      val point = observedPairs(StareJoin.pointJoin(left.toDF("lid", "sid"), "sid",
+        covers.toDF("rname", "sids"), "sids", how = how))
+      assert(point === exp, s"pointJoin how=$how")
+    }
+  }
 }
