@@ -568,8 +568,13 @@ object Skew {
         val l = clash.foldLeft(left)((df, c) => df.withColumnRenamed(c, c + "_left"))
         val r = clash.foldLeft(rightRows)((df, c) => df.withColumnRenamed(c, c + "_right"))
         val lSid = if (clash.contains(leftSid)) leftSid + "_left" else leftSid
+        // small x small build: broadcast the row side when it fits (two
+        // exchanges saved at fixed cost; same output either way)
+        val rBuild =
+          if (assembleBroadcast) org.apache.spark.sql.functions.broadcast(r)
+          else r.hint("shuffle_hash")
         val rightFullPlain = rightKeyedFinal
-          .join(r.hint("shuffle_hash"), col("__rid") === col("key_right"), "inner")
+          .join(rBuild, col("__rid") === col("key_right"), "inner")
           .drop("__rid")
         val rightFull =
           if (assembleBroadcast) org.apache.spark.sql.functions.broadcast(rightFullPlain)
