@@ -218,6 +218,46 @@ object BenchExtra {
         t("shufflejoin_count")(joined.count())
         t("q43_full")(SparkEntry.queries("q43_shuffle_join_left")(spark, sfDir).count())
         t("q43_warm")(SparkEntry.queries("q43_shuffle_join_left")(spark, sfDir).count())
+      case "q27parts" =>
+        // phase decomposition of the pods roundtrip (write / commit /
+        // pruned read) — guide §6
+        import graft.functions.StareFunctions._
+        def t(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          System.err.println(f"[q27parts] $label%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+        val out = s"/tmp/graft_q27parts"
+        graft.sources.Pods.trashAsync(java.nio.file.Paths.get(out))
+        val docs = SparkEntry.indexed(spark, sfDir).select(col("doc_id"), col("sid"),
+          col("lat"), col("lon"), col("warc_ts"), col("lang"))
+        t("indexed_count")(docs.count())
+        t("pods_write")(graft.sources.Pods.write(docs, out, "sid", podLevel = 2,
+          lineageId = s"q27parts-${System.nanoTime()}", tsCol = Some("warc_ts"),
+          chunkMs = 30L * 86400000L))
+        val r = SparkEntry.region("europe_c")
+        val t0 = 1700000600L; val t1 = 1700020000L
+        t("pruned_read")(graft.sources.Pods.read(spark, out, SparkEntry.regionCover(r),
+          timeRangeMs = Some((t0 * 1000, t1 * 1000)))
+          .filter(SparkEntry.inRegion(r) && unix_timestamp(col("warc_ts")).between(t0, t1))
+          .select(col("doc_id")).orderBy(col("doc_id")).count())
+        t("q27_full")(SparkEntry.queries("q27_pods_roundtrip")(spark, sfDir).count())
+        // commit-scan proxy: the read-back aggregation commitStore pays
+        t("commit_scan")(spark.read.parquet(out)
+          .groupBy(col("pod"), col("tchunk"))
+          .agg(min(col("sid")), max(col("sid")), count(lit(1)),
+            min(col("warc_ts")), max(col("warc_ts"))).collect())
+        // raw write-only proxy (no manifests): same repartition+sort+write
+        val out2 = "/tmp/graft_q27parts_raw"
+        graft.sources.Pods.trashAsync(java.nio.file.Paths.get(out2))
+        t("raw_write")(docs
+          .withColumn("pod", starePod(col("sid"), 2))
+          .withColumn("tchunk", floor((col("warc_ts").cast("double") * 1000).cast("long")
+            / (30L * 86400000L)).cast("long"))
+          .repartition(spark.sessionState.conf.numShufflePartitions, col("pod"), col("tchunk"))
+          .sortWithinPartitions(col("sid"))
+          .write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .partitionBy("pod", "tchunk").parquet(out2))
       case other => sys.error(s"unknown BenchExtra mode: $other")
     }
     spark.stop()
