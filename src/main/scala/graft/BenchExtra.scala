@@ -258,6 +258,41 @@ object BenchExtra {
           .write.mode("overwrite")
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .partitionBy("pod", "tchunk").parquet(out2))
+      case "qstages" =>
+        // per-stage wall/executor-time accounting for one query (cold
+        // then warm) — locates CPU-bound stages vs scheduling/compile
+        val name = args(1)
+        val stageLog = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long)]
+        val sl = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            stageLog.synchronized {
+              stageLog += ((si.stageId, si.numTasks, si.taskMetrics.executorRunTime,
+                si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)))
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(sl)
+        for (rep <- 1 to 2) {
+          stageLog.clear()
+          SparkEntry.clearDupPairsMemo()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let stage-completed events drain
+          val (nstages, runMs, wallMs) = stageLog.synchronized {
+            (stageLog.length, stageLog.map(_._3).sum, stageLog.map(_._4).sum)
+          }
+          System.err.println(f"[qstages] $name rep$rep: wall $wall%.2f s, $nstages stages, " +
+            f"execRun ${runMs / 1e3}%.2f s, stage-wall ${wallMs / 1e3}%.2f s")
+          stageLog.synchronized(stageLog.toSeq).sortBy(-_._3).take(6).foreach {
+            case (id, nt, run, w) =>
+              System.err.println(f"[qstages]   stage $id%4d tasks=$nt%3d execRunMs=$run%6d wallMs=$w%5d")
+          }
+        }
+        spark.sparkContext.removeSparkListener(sl)
       case other => sys.error(s"unknown BenchExtra mode: $other")
     }
     spark.stop()
